@@ -1,0 +1,170 @@
+"""Wavefront OBJ mesh I/O and topology precomputation.
+
+Replaces the reference's line-by-line Python parser (reference data.py:7-39)
+with a vectorized numpy parser, and replaces the per-iteration PyTorch3D
+``Meshes`` rebuild (reference fit.py:578) with one-time static adjacency
+arrays suitable for jit-compiled segment-sum mesh losses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MeshData:
+    """Parsed mesh. Mirrors the reference's MeshData fields (data.py:36-39).
+
+    vertices: (3V,) float32 flat xyz (reference layout), see also verts3.
+    uv:       (U, 2) float32 texture coordinates.
+    faces:    (T, 3) int32 vertex indices (0-based).
+    fuv:      (T, 3) int32 uv indices (0-based).
+    """
+
+    vertices: np.ndarray
+    uv: np.ndarray
+    faces: np.ndarray
+    fuv: np.ndarray
+
+    @property
+    def verts3(self) -> np.ndarray:
+        """(V, 3) view of vertex positions."""
+        return self.vertices.reshape(-1, 3)
+
+    @property
+    def n_vertices(self) -> int:
+        return self.vertices.shape[0] // 3
+
+
+def _parse_float_block(lines: list[str], prefix: str, ncols: int) -> np.ndarray:
+    sel = [ln[len(prefix):] for ln in lines if ln.startswith(prefix)]
+    if not sel:
+        return np.zeros((0, ncols), dtype=np.float32)
+    flat = np.array(" ".join(sel).split(), dtype=np.float32)
+    return flat.reshape(-1, ncols)
+
+
+def load_obj(path: str) -> MeshData:
+    """Parse an OBJ file (v / vt / f records; triangles only).
+
+    Faces must be triangles with ``v/vt`` (or ``v/vt/vn``) indexing, as in
+    the reference data (data.py:29-34). Indices are converted to 0-based.
+    """
+    with open(path, "r") as f:
+        lines = f.readlines()
+
+    verts = _parse_float_block(lines, "v ", 3)
+    uv = _parse_float_block(lines, "vt ", 2)
+
+    face_lines = [ln for ln in lines if ln.startswith("f ")]
+    faces = np.zeros((len(face_lines), 3), dtype=np.int32)
+    fuv = np.zeros((len(face_lines), 3), dtype=np.int32)
+    if face_lines:
+        # "f a/b[/c] d/e[/f] g/h[/i]" -> int grid; robust to missing vt.
+        toks = [ln.split()[1:] for ln in face_lines]
+        for i, tri in enumerate(toks):
+            assert len(tri) == 3, f"non-triangle face in {path}: {tri}"
+            for j, corner in enumerate(tri):
+                parts = corner.split("/")
+                faces[i, j] = int(parts[0]) - 1
+                fuv[i, j] = int(parts[1]) - 1 if len(parts) > 1 and parts[1] else faces[i, j]
+
+    return MeshData(
+        vertices=verts.reshape(-1).astype(np.float32),
+        uv=uv.astype(np.float32),
+        faces=faces,
+        fuv=fuv,
+    )
+
+
+def load_obj_vertices(path: str) -> np.ndarray:
+    """Fast path: only the flat (3V,) vertex array (for blendshape stacks).
+
+    Equivalent to the inline parser used for blendshape collection
+    (reference fit.py:209-216).
+    """
+    vals = []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                vals.append(line[2:])
+            elif vals and (line.startswith("vt ") or line.startswith("f ")):
+                break  # vertex block is contiguous in our data
+    return np.array(" ".join(vals).split(), dtype=np.float32)
+
+
+def save_obj(path: str, verts3: np.ndarray, uv: np.ndarray, faces: np.ndarray,
+             fuv: np.ndarray | None = None) -> None:
+    """Write an OBJ with v/vt/f records (f as v/vt)."""
+    fuv = faces if fuv is None else fuv
+    with open(path, "w") as f:
+        for v in np.asarray(verts3).reshape(-1, 3):
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for t in np.asarray(uv).reshape(-1, 2):
+            f.write(f"vt {t[0]} {t[1]}\n")
+        for tri, triuv in zip(np.asarray(faces) + 1, np.asarray(fuv) + 1):
+            f.write(f"f {tri[0]}/{triuv[0]} {tri[1]}/{triuv[1]} {tri[2]}/{triuv[2]}\n")
+
+
+@dataclasses.dataclass
+class MeshTopology:
+    """Static adjacency arrays for mesh regularizers (all shapes fixed).
+
+    Precomputed once (host-side numpy) so the jit-compiled loss functions are
+    pure segment-sums — the TPU-native replacement for the per-step
+    PyTorch3D ``Meshes`` construction at reference fit.py:578.
+
+    edges:         (E, 2) int32 unique undirected edges (v0 < v1).
+    edge_face_pairs: (P, 2) int32 pairs of face indices sharing an edge
+                     (one row per manifold interior edge).
+    neighbor_src / neighbor_dst: (2E,) int32 directed edge lists, i.e. for
+                     every undirected edge both (a->b) and (b->a); used for
+                     uniform-Laplacian segment sums.
+    degree:        (V,) float32 vertex degrees (number of neighbors).
+    n_vertices:    int
+    """
+
+    edges: np.ndarray
+    edge_face_pairs: np.ndarray
+    neighbor_src: np.ndarray
+    neighbor_dst: np.ndarray
+    degree: np.ndarray
+    n_vertices: int
+
+
+def build_topology(faces: np.ndarray, n_vertices: int) -> MeshTopology:
+    """Compute unique edges, adjacent-face pairs and vertex neighborhoods."""
+    faces = np.asarray(faces, dtype=np.int64)
+    raw_edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+    )
+    face_ids = np.tile(np.arange(faces.shape[0], dtype=np.int64), 3)
+    keyed = np.sort(raw_edges, axis=1)
+    keys = keyed[:, 0] * np.int64(n_vertices) + keyed[:, 1]
+
+    order = np.argsort(keys, kind="stable")
+    skeys = keys[order]
+    sface = face_ids[order]
+    uniq_keys, first_idx, counts = np.unique(skeys, return_index=True, return_counts=True)
+    edges = np.stack([uniq_keys // n_vertices, uniq_keys % n_vertices], axis=1)
+
+    # Face pairs for edges shared by exactly two faces (manifold interior).
+    two = counts == 2
+    i0 = first_idx[two]
+    edge_face_pairs = np.stack([sface[i0], sface[i0 + 1]], axis=1)
+
+    neighbor_src = np.concatenate([edges[:, 0], edges[:, 1]])
+    neighbor_dst = np.concatenate([edges[:, 1], edges[:, 0]])
+    degree = np.zeros(n_vertices, dtype=np.float32)
+    np.add.at(degree, neighbor_src, 1.0)
+
+    return MeshTopology(
+        edges=edges.astype(np.int32),
+        edge_face_pairs=edge_face_pairs.astype(np.int32),
+        neighbor_src=neighbor_src.astype(np.int32),
+        neighbor_dst=neighbor_dst.astype(np.int32),
+        degree=degree,
+        n_vertices=n_vertices,
+    )
