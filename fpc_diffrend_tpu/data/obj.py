@@ -123,6 +123,11 @@ class MeshTopology:
                      every undirected edge both (a->b) and (b->a); used for
                      uniform-Laplacian segment sums.
     degree:        (V,) float32 vertex degrees (number of neighbors).
+    face_neighbors: (T, 3) int32; entry [f, j] is the face sharing edge
+                     (faces[f, j], faces[f, (j+1)%3]) with face f, or -1 if
+                     that edge is a boundary/non-manifold edge. Used by the
+                     antialias op to distinguish silhouette edges from
+                     interior edges (the role of nvdiffrast's topology hash).
     n_vertices:    int
     """
 
@@ -131,6 +136,7 @@ class MeshTopology:
     neighbor_src: np.ndarray
     neighbor_dst: np.ndarray
     degree: np.ndarray
+    face_neighbors: np.ndarray
     n_vertices: int
 
 
@@ -155,6 +161,18 @@ def build_topology(faces: np.ndarray, n_vertices: int) -> MeshTopology:
     i0 = first_idx[two]
     edge_face_pairs = np.stack([sface[i0], sface[i0 + 1]], axis=1)
 
+    # Per-face, per-edge neighbor face (edge j = (v_j, v_{j+1})).
+    # raw_edges rows are ordered [all edge-slot 0; all slot 1; all slot 2].
+    n_faces = faces.shape[0]
+    slot_ids = np.concatenate([np.full(n_faces, 0), np.full(n_faces, 1),
+                               np.full(n_faces, 2)])
+    sslot = slot_ids[order]
+    face_neighbors = np.full((n_faces, 3), -1, dtype=np.int64)
+    fa, sa = sface[i0], sslot[i0]
+    fb, sb = sface[i0 + 1], sslot[i0 + 1]
+    face_neighbors[fa, sa] = fb
+    face_neighbors[fb, sb] = fa
+
     neighbor_src = np.concatenate([edges[:, 0], edges[:, 1]])
     neighbor_dst = np.concatenate([edges[:, 1], edges[:, 0]])
     degree = np.zeros(n_vertices, dtype=np.float32)
@@ -166,5 +184,6 @@ def build_topology(faces: np.ndarray, n_vertices: int) -> MeshTopology:
         neighbor_src=neighbor_src.astype(np.int32),
         neighbor_dst=neighbor_dst.astype(np.int32),
         degree=degree,
+        face_neighbors=face_neighbors.astype(np.int32),
         n_vertices=n_vertices,
     )

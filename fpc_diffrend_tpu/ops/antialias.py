@@ -1,0 +1,139 @@
+"""Analytic silhouette-edge antialiasing (nvdiffrast ``dr.antialias``).
+
+Replaces the CUDA antialias kernel used at reference fit.py:160 — the op
+that creates the *only* gradient path from pixel coverage to vertex
+positions at silhouettes. The algorithm follows nvdiffrast's formulation
+(Laine et al. 2020, "Modular Primitives for High-Performance Differentiable
+Rendering", §3.4):
+
+For every horizontally / vertically adjacent pixel pair whose triangle ids
+differ, find the edge of the closer ("occluder") triangle that crosses the
+segment between the two pixel centers. If that edge is not shared with the
+other pixel's triangle (i.e. it is a visual discontinuity, checked against
+precomputed ``face_neighbors`` — the role of nvdiffrast's topology hash),
+compute the crossing position xi in [0, 1] along the segment and blend:
+
+  delta = xi - 0.5
+  delta > 0:  pixel q gets  delta * (c_p - c_q)
+  delta < 0:  pixel p gets -delta * (c_q - c_p)
+
+xi is a differentiable function of the occluder's clip-space vertices, so
+autodiff yields the analytic coverage gradient; all discrete decisions
+(pair mask, occluder choice, edge choice) are fixed booleans.
+
+Everything is (H, W)-shaped vectorized arithmetic + gathers — no scatter,
+no data-dependent shapes — so XLA fuses it into the surrounding pipeline.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fpc_diffrend_tpu.ops.rasterize import screen_vertices, _edge_fn
+
+Array = jnp.ndarray
+
+
+def _pair_blend(color_a, color_b, rast_a, rast_b, centers_a, centers_b,
+                tri_screen, face_neighbors):
+    """Compute blend deltas for one set of adjacent pixel pairs.
+
+    All inputs are aligned arrays over the pair grid (shape (..., )):
+      color_a/b   (..., C) colors of the two pixels
+      rast_a/b    (..., 4) rasterizer outputs
+      centers_a/b (..., 2) pixel center coordinates
+      tri_screen  (T, 3, 2) screen-space triangle vertices (differentiable)
+      face_neighbors (T, 3) neighbor face per edge slot
+    Returns (delta_a, delta_b): color deltas to add to each side.
+    """
+    id_a = rast_a[..., 3].astype(jnp.int32) - 1   # -1 = background
+    id_b = rast_b[..., 3].astype(jnp.int32) - 1
+    differs = id_a != id_b
+
+    # Depth with background pushed to +inf so any triangle occludes it.
+    z_a = jnp.where(id_a >= 0, rast_a[..., 2], jnp.inf)
+    z_b = jnp.where(id_b >= 0, rast_b[..., 2], jnp.inf)
+    a_is_occluder = z_a <= z_b
+    occ_id = jnp.where(a_is_occluder, id_a, id_b)
+    other_id = jnp.where(a_is_occluder, id_b, id_a)
+    valid = differs & (occ_id >= 0)
+    occ_safe = jnp.maximum(occ_id, 0)
+
+    tv = tri_screen[occ_safe]                      # (..., 3, 2)
+    neigh = face_neighbors[occ_safe]               # (..., 3)
+
+    pax, pay = centers_a[..., 0], centers_a[..., 1]
+    pbx, pby = centers_b[..., 0], centers_b[..., 1]
+
+    best_xi = jnp.zeros(z_a.shape, jnp.float32)
+    best_score = jnp.full(z_a.shape, jnp.inf)
+    found = jnp.zeros(z_a.shape, bool)
+    for j in range(3):
+        va = tv[..., j, :]
+        vb = tv[..., (j + 1) % 3, :]
+        f_a = _edge_fn(va[..., 0], va[..., 1], vb[..., 0], vb[..., 1], pax, pay)
+        f_b = _edge_fn(va[..., 0], va[..., 1], vb[..., 0], vb[..., 1], pbx, pby)
+        crossing = (f_a * f_b) < 0.0
+        # Edge is shared (continuous surface) only if its neighbor face
+        # exists and is the other pixel's triangle; everything else —
+        # boundary edges, background on the other side — is a silhouette.
+        shared = (neigh[..., j] >= 0) & (neigh[..., j] == other_id)
+        silhouette = ~shared
+        ok = crossing & silhouette
+        denom = f_a - f_b
+        xi = f_a / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+        score = jnp.abs(xi - 0.5)
+        better = ok & (score < best_score)
+        best_xi = jnp.where(better, xi, best_xi)
+        best_score = jnp.where(better, score, best_score)
+        found = found | ok
+
+    valid = valid & found
+    delta = jnp.clip(best_xi - 0.5, -0.5, 0.5)
+    delta = jnp.where(valid, delta, 0.0)[..., None]
+
+    diff = color_a - color_b
+    delta_b = jnp.where(delta > 0, delta * diff, 0.0)
+    delta_a = jnp.where(delta < 0, -delta * (-diff), 0.0)
+    return delta_a, delta_b
+
+
+def antialias(color: Array, rast: Array, pos_clip: Array, faces: Array,
+              face_neighbors: Array) -> Array:
+    """Antialias silhouette edges of a rendered image.
+
+    :param color: (H, W, C) shaded image.
+    :param rast: (H, W, 4) rasterizer output for the same view.
+    :param pos_clip: (V, 4) clip-space vertices (gradient target).
+    :param faces: (T, 3) int32 triangle indices.
+    :param face_neighbors: (T, 3) int32 per-edge adjacent face (or -1),
+        from data.obj.build_topology.
+    :return: (H, W, C) antialiased image.
+    """
+    height, width = color.shape[0], color.shape[1]
+    sv = screen_vertices(pos_clip, width, height)      # (V, 3) differentiable
+    tri_screen = sv[faces][:, :, :2]                   # (T, 3, 2)
+
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    cx = jnp.broadcast_to(xs[None, :], (height, width))
+    cy = jnp.broadcast_to(ys[:, None], (height, width))
+    centers = jnp.stack([cx, cy], axis=-1)             # (H, W, 2)
+
+    out = color
+
+    # Horizontal pairs: (y, x) vs (y, x+1)
+    da, db = _pair_blend(
+        color[:, :-1], color[:, 1:], rast[:, :-1], rast[:, 1:],
+        centers[:, :-1], centers[:, 1:], tri_screen, face_neighbors)
+    out = out.at[:, :-1].add(da)
+    out = out.at[:, 1:].add(db)
+
+    # Vertical pairs: (y, x) vs (y+1, x)
+    da, db = _pair_blend(
+        color[:-1, :], color[1:, :], rast[:-1, :], rast[1:, :],
+        centers[:-1, :], centers[1:, :], tri_screen, face_neighbors)
+    out = out.at[:-1, :].add(da)
+    out = out.at[1:, :].add(db)
+
+    return out

@@ -1,0 +1,283 @@
+"""Differentiable triangle rasterization (TPU-native).
+
+Replaces nvdiffrast's ``dr.rasterize`` (reference fit.py:151; CUDA/OpenGL
+z-buffered rasterizer with an analytic backward kernel) with a design that
+exploits how JAX/XLA differentiates:
+
+  1. **Visibility** — the discrete z-buffered "which triangle wins each
+     pixel" resolve. Not differentiable and doesn't need to be; computed by
+     a Pallas tile kernel on TPU (ops/pallas/rasterize_tpu.py) or a
+     chunk-scanned XLA fallback (any backend), both returning an int32
+     triangle-id buffer.
+
+  2. **Barycentric recompute** — given the winning ids, the perspective-
+     correct barycentrics (u, v), depth and screen-space derivatives are
+     recomputed in pure JAX directly from the clip-space vertices. This
+     chain is differentiable by construction, so ``jax.grad`` produces
+     exactly the analytic position gradients nvdiffrast implements by hand
+     in its backward CUDA kernel (holding the discrete ids fixed, which is
+     also what nvdiffrast does).
+
+Output layout matches nvdiffrast: ``rast[..., 0:4] = (u, v, z_ndc,
+triangle_id + 1)`` with id 0 = background, and ``rast_db[..., 0:4] =
+(du/dx, du/dy, dv/dx, dv/dy)`` in pixels. Image row 0 is the *bottom* row
+(OpenGL convention), which is why the reference flips images vertically at
+the boundaries (fit.py:532, render_result.py:144) — we keep that convention
+for parity.
+
+Conventions:
+  * pixel (ix, iy) has center (ix + 0.5, iy + 0.5) in screen space
+  * screen x = (x_clip / w + 1) / 2 * W;   y = (y_clip / w + 1) / 2 * H
+  * both triangle windings are rasterized (nvdiffrast default)
+  * triangles with any vertex at w <= eps are discarded (no near-plane
+    clipping; the face-capture scenes never straddle the camera plane)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+_W_EPS = 1e-9
+_AREA_EPS = 1e-12
+
+
+# ----------------------------------------------------------------------------
+# Triangle setup
+# ----------------------------------------------------------------------------
+
+def screen_vertices(pos_clip: Array, width: int, height: int) -> Array:
+    """Clip-space (V, 4) -> screen-space (V, 3) = (sx, sy, z_ndc).
+
+    Differentiable; guards w with a tiny epsilon (invalid triangles are
+    masked out elsewhere).
+    """
+    w = pos_clip[:, 3:4]
+    safe_w = jnp.where(jnp.abs(w) > _W_EPS, w, _W_EPS)
+    ndc = pos_clip[:, :3] / safe_w
+    sx = (ndc[:, 0] + 1.0) * (0.5 * width)
+    sy = (ndc[:, 1] + 1.0) * (0.5 * height)
+    return jnp.stack([sx, sy, ndc[:, 2]], axis=1)
+
+
+def _tri_screen(pos_clip: Array, faces: Array, width: int, height: int):
+    """Gather per-triangle screen coords and validity.
+
+    Returns (p (T, 3, 2) screen xy, zndc (T, 3), w (T, 3), valid (T,)).
+    """
+    sv = screen_vertices(pos_clip, width, height)  # (V, 3)
+    w_all = pos_clip[:, 3]
+    p = sv[faces][:, :, :2]          # (T, 3, 2)
+    zndc = sv[faces][:, :, 2]        # (T, 3)
+    w = w_all[faces]                 # (T, 3)
+    valid = jnp.all(w > _W_EPS, axis=1)
+    return p, zndc, w, valid
+
+
+def _edge_fn(ax, ay, bx, by, px, py):
+    """Signed parallelogram area of (b - a) x (p - a)."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+# ----------------------------------------------------------------------------
+# Visibility: XLA fallback (chunk-scanned z-buffer)
+# ----------------------------------------------------------------------------
+
+def visibility_scan(pos_clip: Array, faces: Array, height: int, width: int,
+                    chunk: int = 8) -> Array:
+    """Winning triangle id per pixel via a scanned z-buffered full-image test.
+
+    Exact but brute-force (O(T · H · W)); used as the reference
+    implementation for tests and small scenes. The Pallas tile kernel is
+    the production path on TPU.
+
+    :return: (H, W) int32; -1 = background, else triangle index.
+    """
+    T = faces.shape[0]
+    pad = (-T) % chunk
+    p, zndc, w, valid = _tri_screen(pos_clip, faces, width, height)
+    if pad:
+        p = jnp.concatenate([p, jnp.zeros((pad, 3, 2), p.dtype)], axis=0)
+        zndc = jnp.concatenate([zndc, jnp.zeros((pad, 3), zndc.dtype)], axis=0)
+        w = jnp.concatenate([w, jnp.ones((pad, 3), w.dtype)], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], axis=0)
+
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    px = px[None, :]                 # (1, W)
+    py = py[:, None]                 # (H, 1)
+
+    n_chunks = (T + pad) // chunk
+    p = p.reshape(n_chunks, chunk, 3, 2)
+    zndc = zndc.reshape(n_chunks, chunk, 3)
+    valid = valid.reshape(n_chunks, chunk)
+    tri_ids = jnp.arange(T + pad, dtype=jnp.int32).reshape(n_chunks, chunk)
+    tri_ids = jnp.where(jnp.arange(T + pad).reshape(n_chunks, chunk) < T,
+                        tri_ids, -1)
+
+    init = (jnp.full((height, width), jnp.inf, jnp.float32),
+            jnp.full((height, width), -1, jnp.int32))
+
+    def body(carry, xs):
+        zbuf, idbuf = carry
+        pc, zc, validc, idsc = xs
+        for k in range(chunk):
+            tri = pc[k]              # (3, 2)
+            e0 = _edge_fn(tri[1, 0], tri[1, 1], tri[2, 0], tri[2, 1], px, py)
+            e1 = _edge_fn(tri[2, 0], tri[2, 1], tri[0, 0], tri[0, 1], px, py)
+            e2 = _edge_fn(tri[0, 0], tri[0, 1], tri[1, 0], tri[1, 1], px, py)
+            area = _edge_fn(tri[0, 0], tri[0, 1], tri[1, 0], tri[1, 1],
+                            tri[2, 0], tri[2, 1])
+            ok = (validc[k] & (jnp.abs(area) > _AREA_EPS) & (idsc[k] >= 0))
+            inv_area = jnp.where(jnp.abs(area) > _AREA_EPS, 1.0 / area, 0.0)
+            l0 = e0 * inv_area
+            l1 = e1 * inv_area
+            l2 = e2 * inv_area
+            covered = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & ok
+            z = l0 * zc[k, 0] + l1 * zc[k, 1] + l2 * zc[k, 2]
+            closer = covered & (z < zbuf)
+            zbuf = jnp.where(closer, z, zbuf)
+            idbuf = jnp.where(closer, idsc[k], idbuf)
+        return (zbuf, idbuf), None
+
+    (zbuf, idbuf), _ = jax.lax.scan(body, init, (p, zndc, valid, tri_ids))
+    return idbuf
+
+
+# ----------------------------------------------------------------------------
+# Differentiable barycentric recompute
+# ----------------------------------------------------------------------------
+
+def pixel_attributes(pos_clip: Array, faces: Array, idbuf: Array,
+                     height: int, width: int,
+                     with_db: bool = False):
+    """Perspective-correct (u, v, z) per pixel from winning triangle ids.
+
+    Fully differentiable w.r.t. ``pos_clip`` (ids held fixed). This is the
+    gradient path equivalent to nvdiffrast's rasterize backward.
+
+    :param idbuf: (H, W) int32 winning triangle index, -1 = background.
+    :param with_db: also return (du/dx, du/dy, dv/dx, dv/dy).
+    :return: (u, v, z, mask[, db]) with shapes (H, W) and db (H, W, 4).
+    """
+    ids = jnp.maximum(idbuf, 0)
+    mask = idbuf >= 0
+
+    p, zndc, w, _ = _tri_screen(pos_clip, faces, width, height)
+    tp = p[ids]                      # (H, W, 3, 2)
+    tz = zndc[ids]                   # (H, W, 3)
+    tw = w[ids]                      # (H, W, 3)
+
+    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5,
+                          (height, width))
+    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5,
+                          (height, width))
+
+    ax, ay = tp[..., 0, 0], tp[..., 0, 1]
+    bx, by = tp[..., 1, 0], tp[..., 1, 1]
+    cx, cy = tp[..., 2, 0], tp[..., 2, 1]
+
+    area = _edge_fn(ax, ay, bx, by, cx, cy)
+    inv_area = jnp.where(jnp.abs(area) > _AREA_EPS, 1.0 / area, 0.0)
+    l0 = _edge_fn(bx, by, cx, cy, px, py) * inv_area
+    l1 = _edge_fn(cx, cy, ax, ay, px, py) * inv_area
+    l2 = _edge_fn(ax, ay, bx, by, px, py) * inv_area
+
+    # Perspective correction: weights lambda_i / w_i, renormalized.
+    iw = 1.0 / tw                    # (H, W, 3)
+    d0 = l0 * iw[..., 0]
+    d1 = l1 * iw[..., 1]
+    d2 = l2 * iw[..., 2]
+    denom = d0 + d1 + d2
+    inv_denom = jnp.where(jnp.abs(denom) > _AREA_EPS, 1.0 / denom, 0.0)
+    u = d0 * inv_denom
+    v = d1 * inv_denom
+
+    z = l0 * tz[..., 0] + l1 * tz[..., 1] + l2 * tz[..., 2]
+
+    u = jnp.where(mask, u, 0.0)
+    v = jnp.where(mask, v, 0.0)
+    z = jnp.where(mask, z, 0.0)
+
+    if not with_db:
+        return u, v, z, mask
+
+    # Screen-space derivatives of the *perspective-correct* (u, v).
+    # lambda_i are affine in (px, py):
+    dl0_dx = -(cy - by) * inv_area
+    dl0_dy = (cx - bx) * inv_area
+    dl1_dx = -(ay - cy) * inv_area
+    dl1_dy = (ax - cx) * inv_area
+    dl2_dx = -(by - ay) * inv_area
+    dl2_dy = (bx - ax) * inv_area
+
+    dd0_dx = dl0_dx * iw[..., 0]
+    dd1_dx = dl1_dx * iw[..., 1]
+    dd2_dx = dl2_dx * iw[..., 2]
+    dd0_dy = dl0_dy * iw[..., 0]
+    dd1_dy = dl1_dy * iw[..., 1]
+    dd2_dy = dl2_dy * iw[..., 2]
+    ddenom_dx = dd0_dx + dd1_dx + dd2_dx
+    ddenom_dy = dd0_dy + dd1_dy + dd2_dy
+
+    du_dx = (dd0_dx - u * ddenom_dx) * inv_denom
+    du_dy = (dd0_dy - u * ddenom_dy) * inv_denom
+    dv_dx = (dd1_dx - v * ddenom_dx) * inv_denom
+    dv_dy = (dd1_dy - v * ddenom_dy) * inv_denom
+
+    db = jnp.stack([du_dx, du_dy, dv_dx, dv_dy], axis=-1)
+    db = jnp.where(mask[..., None], db, 0.0)
+    return u, v, z, mask, db
+
+
+# ----------------------------------------------------------------------------
+# Public API
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("resolution", "impl", "with_db"))
+def rasterize(pos_clip: Array, faces: Array, resolution: Tuple[int, int],
+              impl: str = "auto", with_db: bool = True):
+    """Rasterize clip-space triangles; nvdiffrast-compatible output.
+
+    :param pos_clip: (V, 4) float32 clip-space vertex positions.
+    :param faces: (T, 3) int32 triangle vertex indices.
+    :param resolution: (height, width).
+    :param impl: "auto" | "pallas" | "scan" visibility implementation.
+    :param with_db: also return the (H, W, 4) bary-derivative image.
+    :return: rast (H, W, 4) = (u, v, z_ndc, tri_id + 1); optionally
+             rast_db (H, W, 4) = (du/dx, du/dy, dv/dx, dv/dy).
+    """
+    height, width = resolution
+    faces = faces.astype(jnp.int32)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl == "pallas":
+        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import visibility_pallas
+
+        idbuf = visibility_pallas(jax.lax.stop_gradient(pos_clip), faces,
+                                  height, width)
+    elif impl == "scan":
+        idbuf = visibility_scan(jax.lax.stop_gradient(pos_clip), faces,
+                                height, width)
+    else:
+        raise ValueError(f"unknown rasterize impl {impl!r}")
+
+    if with_db:
+        u, v, z, mask, db = pixel_attributes(pos_clip, faces, idbuf,
+                                             height, width, with_db=True)
+    else:
+        u, v, z, mask = pixel_attributes(pos_clip, faces, idbuf,
+                                         height, width, with_db=False)
+        db = None
+
+    idf = jnp.where(mask, (idbuf + 1).astype(jnp.float32), 0.0)
+    rast = jnp.stack([u, v, z, idf], axis=-1)
+    if with_db:
+        return rast, db
+    return rast
