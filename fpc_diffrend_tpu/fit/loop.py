@@ -1,0 +1,157 @@
+"""The jit-compiled batched fit loop — the TPU-native ``fitTake``.
+
+Reference architecture (fit.py:524-642): a Python loop doing one random
+(camera, frame) sample per iteration with a per-step PIL disk read, eager
+CUDA ops and per-step host sync. Here the whole step — blend -> pose ->
+render -> loss -> grad -> multi-group Adam -> quaternion renorm — is one
+jitted function, vmapped over a batch of (camera, frame) samples, with
+reference frames preloaded to device memory as uint8 (fixing the per-step
+disk read at fit.py:529-533).
+
+The mvp construction replicates fit.py:541-553 exactly:
+  proj @ rigid(per_frame pose) @ rigid(per-camera correction) @ (mv @ y-offset)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fpc_diffrend_tpu.fit import losses as losses_mod
+from fpc_diffrend_tpu.fit import state as state_mod
+from fpc_diffrend_tpu.fit.config import FitConfig
+from fpc_diffrend_tpu.fit.scene import Scene
+from fpc_diffrend_tpu.models import blendshape, pose
+from fpc_diffrend_tpu.ops.pipeline import render
+
+Array = jnp.ndarray
+
+
+class Batch(NamedTuple):
+    cam_idx: Array     # (B,) int32
+    frame_idx: Array   # (B,) int32
+    ref: Array         # (B, H, W, 1) float32 (already clipped + flipped)
+
+
+def build_mvp(scene: Scene, params: dict, cam_idx, frame_idx) -> Array:
+    """Differentiable modelview-projection for one sample (fit.py:541-553)."""
+    proj = scene.proj[cam_idx]
+    t_mv = scene.mv[cam_idx]          # includes the y-offset translate
+    rigid_cam = pose.rigid_from_pose(params["t_opt"][cam_idx],
+                                     params["q_opt"][cam_idx])
+    rigid_pose = pose.rigid_from_pose(params["per_frame_t"][frame_idx],
+                                      params["per_frame_q"][frame_idx])
+    return proj @ (rigid_pose @ (rigid_cam @ t_mv))
+
+
+def render_sample(config: FitConfig, scene: Scene, params: dict,
+                  cam_idx, frame_idx) -> tuple[Array, Array]:
+    """Blend + pose + render one (camera, frame) sample.
+
+    :return: (image (H, W, 1), verts3 (V, 3))
+    """
+    vtx = blendshape.blend(config.mode, params, scene.v_base, frame_idx,
+                           config.combined_corrective_coefficient)
+    verts3 = vtx.reshape(-1, 3)
+    mvp = build_mvp(scene, params, cam_idx, frame_idx)
+    img = render(mvp, verts3, scene.faces, scene.uv, scene.uv_idx,
+                 params["tex"], tuple(config.resolution),
+                 scene.face_neighbors, enable_mip=config.enable_mip,
+                 max_mip_level=config.max_mip_level, impl=config.raster_impl)
+    return img, verts3
+
+
+def loss_fn(params: dict, config: FitConfig, scene: Scene, batch: Batch,
+            step) -> tuple[Array, dict]:
+    imgs, verts3 = jax.vmap(
+        lambda c, f: render_sample(config, scene, params, c, f)
+    )(batch.cam_idx, batch.frame_idx)
+
+    pix = jax.vmap(losses_mod.photometric_loss)(batch.ref, imgs).mean()
+    mel, lap, mnc = jax.vmap(
+        lambda v: losses_mod.mesh_regularizers(config, scene, v))(verts3)
+    reg = (config.weight_meshedge * mel.mean()
+           + config.weight_laplacian * (lap ** 2).mean()
+           + config.weight_normalconsistency * mnc.mean())
+    extra = losses_mod.staging_regularizers(config, params, batch.frame_idx,
+                                            step)
+    total = pix + reg + extra
+    metrics = {"loss": total, "pix": pix,
+               "mel": config.weight_meshedge * mel.mean(),
+               "lap": config.weight_laplacian * (lap ** 2).mean(),
+               "mnc": config.weight_normalconsistency * mnc.mean()}
+    return total, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
+def train_step(config: FitConfig, scene: Scene, state: state_mod.TrainState,
+               batch: Batch) -> tuple[state_mod.TrainState, dict]:
+    """One optimization step (the whole body of fit.py:524-642)."""
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(
+        state.params, config, scene, batch, state.step)
+    grads = state_mod.apply_corrective_gate(config, state.step, grads)
+    opt = state_mod.make_optimizer(config)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    # optax schedules read the step from their own counters; our ramp uses
+    # scale_by_schedule which tracks update count == state.step.
+    params = optax.apply_updates(state.params, updates)
+    params = state_mod.normalize_quaternions(params)
+    return state_mod.TrainState(step=state.step + 1, params=params,
+                                opt_state=opt_state), metrics
+
+
+def decode_refs(frames_u8: Array, cam_idx, frame_idx) -> Array:
+    """Gather + decode reference frames: uint8 (C, F, H, W) -> (B, H, W, 1).
+
+    Frames are stored pre-clipped to [0, 140] and pre-flipped (fit.py:531-533
+    does this per step; we do it once at ingest).
+    """
+    sel = frames_u8[cam_idx, frame_idx]                  # (B, H, W) uint8
+    return sel.astype(jnp.float32)[..., None]
+
+
+def sample_batches(config: FitConfig, n_frames: int, rng: np.random.Generator):
+    """Host-side endless sampler of (cam, frame) index batches (fit.py:525-526)."""
+    cams = np.asarray(config.cam_idxs, np.int32)
+    while True:
+        yield (rng.choice(cams, size=config.batch_size),
+               rng.integers(0, n_frames, size=config.batch_size,
+                            dtype=np.int32))
+
+
+def run_fit(config: FitConfig, scene: Scene, frames_u8: Array,
+            n_frames: int, callbacks=None, state=None):
+    """Drive the fit for config.max_iter steps.
+
+    :param frames_u8: (C, F, H, W) uint8 reference frames on device.
+    :param callbacks: optional list of fn(step, state, metrics) called every
+        log_interval steps (logging, checkpointing, mp4).
+    :return: final TrainState.
+    """
+    config.validate()
+    if state is None:
+        tex_init = np.random.default_rng(config.seed).uniform(
+            size=config.texshape).astype(np.float32)
+        params = state_mod.init_params(
+            config, n_frames, scene.v_base.shape[0],
+            scene.deltas.shape[1], tex_init, scene.n_cameras)
+        state = state_mod.init_state(config, params)
+
+    rng = np.random.default_rng(config.seed)
+    sampler = sample_batches(config, n_frames, rng)
+    for i in range(config.max_iter):
+        cam_np, frame_np = next(sampler)
+        cam = jnp.asarray(cam_np)
+        frame = jnp.asarray(frame_np)
+        batch = Batch(cam_idx=cam, frame_idx=frame,
+                      ref=decode_refs(frames_u8, cam, frame))
+        state, metrics = train_step(config, scene, state, batch)
+        if callbacks and config.log_interval and i % config.log_interval == 0:
+            for cb in callbacks:
+                cb(i, state, metrics)
+    return state

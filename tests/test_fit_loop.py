@@ -1,0 +1,121 @@
+"""End-to-end fit test: recover a known pose perturbation on a tiny scene.
+
+The SURVEY.md §4 convergence anchor: render ground truth with known
+per-frame translations, start the fit from identity pose, and assert the
+jitted train loop drives the photometric loss down and the recovered
+translations toward the truth.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fpc_diffrend_tpu.data import obj as objlib
+from fpc_diffrend_tpu.fit import loop as fit_loop
+from fpc_diffrend_tpu.fit import state as state_mod
+from fpc_diffrend_tpu.fit.config import FitConfig
+from fpc_diffrend_tpu.fit.scene import Scene, build_scene
+from fpc_diffrend_tpu.models import camera
+
+
+N_FRAMES = 2
+N_CAMS = 2
+RES = (48, 48)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    verts = np.array([
+        [-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32) * 3.0
+    mesh = objlib.MeshData(
+        vertices=verts.reshape(-1),
+        uv=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+        faces=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        fuv=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+    proj = np.stack([camera.default_projection()] * N_CAMS)
+    mv0 = camera.default_modelview(zoffset=-40)
+    mv1 = camera.default_modelview(zoffset=-42) @ camera.rotate_y(0.15)
+    return build_scene(mesh, proj, np.stack([mv0, mv1]))
+
+
+@pytest.fixture(scope="module")
+def config():
+    # lr_base ~0 freezes texture/rig so the test isolates pose recovery;
+    # the perturbation is small enough to stay in the photometric
+    # attraction basin (large shifts need coarse-to-fine, out of scope here).
+    return FitConfig(
+        max_iter=300, lr_base=1e-6, lr_t=2e-3, lr_q=1e-6,
+        resolution=RES, texshape=(16, 16, 1), mode="free",
+        cam_idxs=tuple(range(N_CAMS)), batch_size=4, raster_impl="scan",
+        weight_laplacian=0.0, log_interval=0)
+
+
+def make_gt_params(config, scene):
+    # smooth radial blob: broad, monotonic photometric gradients
+    yy, xx = np.meshgrid(np.linspace(-1, 1, 16), np.linspace(-1, 1, 16),
+                         indexing="ij")
+    tex = (0.25 + 0.7 * np.exp(-(xx ** 2 + yy ** 2) / 0.35)
+           ).astype(np.float32)[..., None]
+    params = state_mod.init_params(config, N_FRAMES, scene.v_base.shape[0],
+                                   scene.deltas.shape[1], tex, N_CAMS)
+    gt_t = np.array([[0.15, -0.12, 0.0], [-0.13, 0.1, 0.0]], np.float32)
+    params["per_frame_t"] = jnp.asarray(gt_t)
+    return params, gt_t
+
+
+def render_take(config, scene, params):
+    frames = np.empty((N_CAMS, N_FRAMES) + RES, np.uint8)
+    for c in range(N_CAMS):
+        for f in range(N_FRAMES):
+            img, _ = fit_loop.render_sample(config, scene, params,
+                                            jnp.int32(c), jnp.int32(f))
+            frames[c, f] = np.clip(
+                np.rint(np.asarray(img[..., 0]) * 255), 0, 255).astype(np.uint8)
+    return frames
+
+
+def test_fit_recovers_translation(config, scene):
+    gt_params, gt_t = make_gt_params(config, scene)
+    frames = render_take(config, scene, gt_params)
+    frames_dev = jnp.asarray(frames)
+
+    # init state from the same params but zero pose (the unknown)
+    init_params = dict(gt_params)
+    init_params["per_frame_t"] = jnp.zeros((N_FRAMES, 3), jnp.float32)
+    state = state_mod.init_state(config, init_params)
+
+    logs = []
+    state = fit_loop.run_fit(
+        dataclasses.replace(config, log_interval=50), scene, frames_dev,
+        N_FRAMES,
+        callbacks=[lambda i, s, m: logs.append(float(m["loss"]))],
+        state=state)
+
+    assert len(logs) >= 3
+    assert logs[-1] < logs[0] * 0.5, f"loss did not converge: {logs}"
+    got_t = np.asarray(state.params["per_frame_t"])
+    # judge x/y recovery (z has a depth/scale ambiguity against x/y at this
+    # resolution and drifts slightly; the reference faces the same physics)
+    err0 = np.abs(gt_t[:, :2]).mean()
+    err = np.abs(got_t[:, :2] - gt_t[:, :2]).mean()
+    assert err < err0 * 0.5, f"pose error {err} vs initial {err0}: {got_t}"
+
+
+def test_train_step_produces_finite_grads(config, scene):
+    gt_params, _ = make_gt_params(config, scene)
+    frames = jnp.asarray(render_take(config, scene, gt_params))
+    state = state_mod.init_state(config, gt_params)
+    batch = fit_loop.Batch(
+        cam_idx=jnp.asarray([0, 1], jnp.int32),
+        frame_idx=jnp.asarray([0, 1], jnp.int32),
+        ref=fit_loop.decode_refs(frames, jnp.asarray([0, 1]),
+                                 jnp.asarray([0, 1])))
+    new_state, metrics = fit_loop.train_step(config, scene, state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # at ground truth, photometric loss should be near the quantization floor
+    assert float(metrics["pix"]) < 10.0
+    for k, v in new_state.params.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"

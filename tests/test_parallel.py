@@ -1,0 +1,126 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Checks: (1) the sharded train step runs on a ('frame','view','tile') mesh
+and produces the same loss/gradients as the single-device step; (2) the
+banded spatial renderer reproduces the single-device full-frame render.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fpc_diffrend_tpu.data import obj as objlib
+from fpc_diffrend_tpu.fit import loop as fit_loop
+from fpc_diffrend_tpu.fit import state as state_mod
+from fpc_diffrend_tpu.fit.config import FitConfig
+from fpc_diffrend_tpu.fit.scene import build_scene
+from fpc_diffrend_tpu.models import camera
+from fpc_diffrend_tpu.parallel import mesh as mesh_mod
+from fpc_diffrend_tpu.parallel import spatial, train as ptrain
+
+
+RES = (32, 32)
+N_CAMS, N_FRAMES = 2, 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    verts = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+                     np.float32) * 3.0
+    mesh_d = objlib.MeshData(
+        vertices=verts.reshape(-1),
+        uv=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+        faces=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        fuv=np.array([[0, 1, 2], [0, 2, 3]], np.int32))
+    proj = np.stack([camera.default_projection()] * N_CAMS)
+    mv0 = camera.default_modelview(zoffset=-40)
+    mv1 = camera.default_modelview(zoffset=-42) @ camera.rotate_y(0.2)
+    scene = build_scene(mesh_d, proj, np.stack([mv0, mv1]))
+    config = FitConfig(max_iter=100, lr_base=1e-4, lr_t=1e-3, lr_q=1e-5,
+                       resolution=RES, texshape=(16, 16, 1), mode="free",
+                       cam_idxs=(0, 1), batch_size=8, raster_impl="scan",
+                       weight_laplacian=10.0, log_interval=0)
+    yy, xx = np.meshgrid(np.linspace(-1, 1, 16), np.linspace(-1, 1, 16),
+                         indexing="ij")
+    tex = (0.3 + 0.6 * np.exp(-(xx ** 2 + yy ** 2) / 0.4)
+           ).astype(np.float32)[..., None]
+    params = state_mod.init_params(config, N_FRAMES, scene.v_base.shape[0],
+                                   scene.deltas.shape[1], tex, N_CAMS)
+    params["per_frame_t"] = jnp.asarray(
+        np.array([[0.1, -0.1, 0], [-0.1, 0.1, 0]], np.float32))
+    return scene, config, params
+
+
+def _make_batch(config, scene, params, n):
+    rng = np.random.default_rng(1)
+    cam = jnp.asarray(rng.integers(0, N_CAMS, n).astype(np.int32))
+    frame = jnp.asarray(rng.integers(0, N_FRAMES, n).astype(np.int32))
+    refs = []
+    for c, f in zip(np.asarray(cam), np.asarray(frame)):
+        img, _ = fit_loop.render_sample(config, scene, params,
+                                        jnp.int32(c), jnp.int32(f))
+        refs.append(np.asarray(img[..., 0]))
+    ref = jnp.asarray(np.stack(refs))[..., None] * 255.0
+    return fit_loop.Batch(cam_idx=cam, frame_idx=frame, ref=ref)
+
+
+def test_banded_render_matches_full(setup):
+    scene, config, params = setup
+    n_bands = 4
+    mvp = fit_loop.build_mvp(scene, params, jnp.int32(0), jnp.int32(0))
+    verts3 = scene.v_base.reshape(-1, 3)
+    full = fit_loop.render_sample(config, scene, params, jnp.int32(0),
+                                  jnp.int32(0))[0]
+
+    mesh = mesh_mod.make_mesh(("tile",), (n_bands,),
+                              jax.devices()[:n_bands])
+    hb = RES[0] // n_bands
+
+    def band_render(_):
+        band = jax.lax.axis_index("tile")
+        img = spatial.render_band(
+            mvp, verts3, scene.faces, scene.uv, scene.uv_idx, params["tex"],
+            (hb, RES[1]), scene.face_neighbors, band, n_bands,
+            impl="scan", axis_name="tile")
+        return img
+
+    from jax.sharding import PartitionSpec as P
+    out = jax.jit(jax.shard_map(
+        band_render, mesh=mesh, in_specs=(P("tile"),),
+        out_specs=P("tile"), check_vma=False))(jnp.zeros((n_bands, 1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-3)
+
+
+@pytest.mark.parametrize("shape,axes", [
+    ((8, 1, 1), ("frame", "view", "tile")),
+    ((2, 2, 2), ("frame", "view", "tile")),
+    ((1, 1, 8), ("frame", "view", "tile")),
+])
+def test_sharded_step_matches_single_device(setup, shape, axes):
+    scene, config, params = setup
+    batch = _make_batch(config, scene, params, config.batch_size)
+
+    # step from a state away from the optimum (gradients at the optimum are
+    # float noise and Adam would amplify their unstable signs)
+    params = dict(params)
+    params["per_frame_t"] = jnp.zeros((N_FRAMES, 3), jnp.float32)
+
+    # single-device reference step (fresh copies: train_step donates state)
+    state0 = state_mod.init_state(config, {k: jnp.array(v)
+                                           for k, v in params.items()})
+    ref_state, ref_metrics = fit_loop.train_step(config, scene, state0, batch)
+
+    mesh = mesh_mod.make_mesh(axes, shape)
+    step_fn = ptrain.make_sharded_train_step(config, scene, mesh)
+    state1 = state_mod.init_state(config, {k: jnp.array(v)
+                                           for k, v in params.items()})
+    sbatch = ptrain.shard_batch_for(mesh, batch)
+    new_state, metrics = step_fn(state1, sbatch)
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-4)
+    for k in ("per_frame_t", "tex", "m3", "q_opt"):
+        np.testing.assert_allclose(
+            np.asarray(new_state.params[k]), np.asarray(ref_state.params[k]),
+            atol=5e-5, err_msg=k)
