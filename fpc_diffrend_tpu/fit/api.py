@@ -1,0 +1,106 @@
+"""Top-level entry: ``fit_take(config)`` — the public API of the framework.
+
+The TPU-native equivalent of the reference's single public function
+``fit.fitTake(**30 kwargs)`` (fit.py:323-658): loads calibration, base
+mesh, blendshapes and reference frames from the configured paths, runs the
+jitted batched fit, and writes the reference-format results directory.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpc_diffrend_tpu.data import frames as frames_mod
+from fpc_diffrend_tpu.data import obj as objlib
+from fpc_diffrend_tpu.fit import checkpoint as ckpt_mod
+from fpc_diffrend_tpu.fit import loop as loop_mod
+from fpc_diffrend_tpu.fit import results as results_mod
+from fpc_diffrend_tpu.fit import state as state_mod
+from fpc_diffrend_tpu.fit.config import FitConfig
+from fpc_diffrend_tpu.fit.scene import build_scene, load_calibration
+from fpc_diffrend_tpu.models import blendshape
+
+
+def load_texture(texpath: str, texshape) -> np.ndarray:
+    """Initial texture: file (flipped, normalized; fit.py:433-439) or noise."""
+    if texpath:
+        from PIL import Image
+
+        tex = np.array(Image.open(texpath)).astype(np.float32) / 255.0
+        if tex.ndim == 2:
+            tex = tex[..., None]
+        return np.flip(tex, 0).copy()
+    return np.random.uniform(size=tuple(texshape)).astype(np.float32)
+
+
+def setup_from_config(config: FitConfig):
+    """Load all data for a take; returns (scene, frames_u8, n_frames, cams)."""
+    cams = sorted(os.listdir(config.imdir))
+    n_frames, _ = frames_mod.assert_num_frames(cams, config.imdir)
+
+    # camera name -> calibration key: directory names look like
+    # "<take>_<calibkey>" (reference fit.py:516 splits on "_")
+    calib_keys = [c.split("_")[1] if "_" in c else c for c in cams]
+    proj, mv = load_calibration(config.calibpath, calib_keys)
+
+    basemesh = objlib.load_obj(config.basemeshpath)
+    deltas = None
+    if config.localblpath and config.mode in ("prior", "combined"):
+        deltas, _, _ = blendshape.setup_dataset(
+            config.localblpath, config.globalblpath, n_frames,
+            basemesh.vertices.shape[0], basemesh.vertices)
+    scene = build_scene(basemesh, proj, mv, deltas)
+
+    frames_u8 = frames_mod.load_take(config.imdir, cams)
+    return scene, jnp.asarray(frames_u8), n_frames, cams
+
+
+def fit_take(config: FitConfig, resume: bool = True):
+    """Run a full fit from configured paths and save results.
+
+    :param resume: restore the latest checkpoint in config.checkpoint_dir.
+    :return: final TrainState.
+    """
+    config.validate()
+    os.makedirs(config.out_dir, exist_ok=True)
+
+    scene, frames_u8, n_frames, cams = setup_from_config(config)
+
+    tex_init = load_texture(config.texpath, config.texshape)
+    params = state_mod.init_params(config, n_frames, scene.v_base.shape[0],
+                                   scene.deltas.shape[1], tex_init,
+                                   scene.n_cameras)
+    state = state_mod.init_state(config, params)
+
+    if resume and config.checkpoint_dir:
+        latest = ckpt_mod.latest_checkpoint(config.checkpoint_dir)
+        if latest:
+            print(f"Resuming from {latest}")
+            state = ckpt_mod.restore_checkpoint(latest, state)
+
+    t0 = time.time()
+
+    def log_cb(i, st, metrics):
+        print(f"It[{i}] - Loss: {float(metrics['loss']):.4f} - "
+              f"{(i + 1) / max(time.time() - t0, 1e-9):.2f} it/s", flush=True)
+
+    callbacks = [log_cb]
+    if config.checkpoint_dir and config.checkpoint_interval:
+        callbacks.append(ckpt_mod.checkpoint_callback(
+            config.checkpoint_dir, config.checkpoint_interval))
+
+    remaining = config.max_iter - int(state.step)
+    if remaining > 0:
+        state = loop_mod.run_fit(config, scene, frames_u8, n_frames,
+                                 callbacks=callbacks, state=state,
+                                 n_steps=remaining)
+    jax.block_until_ready(state.params)
+
+    results_mod.save_results(config, scene, state.params, n_frames)
+    print("Done")
+    return state

@@ -55,7 +55,8 @@ def render_sample(config: FitConfig, scene: Scene, params: dict,
 
     :return: (image (H, W, 1), verts3 (V, 3))
     """
-    vtx = blendshape.blend(config.mode, params, scene.v_base, frame_idx,
+    vtx = blendshape.blend(config.mode, {**params, "deltas": scene.deltas},
+                           scene.v_base, frame_idx,
                            config.combined_corrective_coefficient)
     verts3 = vtx.reshape(-1, 3)
     mvp = build_mvp(scene, params, cam_idx, frame_idx)
@@ -125,8 +126,8 @@ def sample_batches(config: FitConfig, n_frames: int, rng: np.random.Generator):
 
 
 def run_fit(config: FitConfig, scene: Scene, frames_u8: Array,
-            n_frames: int, callbacks=None, state=None):
-    """Drive the fit for config.max_iter steps.
+            n_frames: int, callbacks=None, state=None, n_steps=None):
+    """Drive the fit for ``n_steps`` (default config.max_iter) steps.
 
     :param frames_u8: (C, F, H, W) uint8 reference frames on device.
     :param callbacks: optional list of fn(step, state, metrics) called every
@@ -144,7 +145,7 @@ def run_fit(config: FitConfig, scene: Scene, frames_u8: Array,
 
     rng = np.random.default_rng(config.seed)
     sampler = sample_batches(config, n_frames, rng)
-    for i in range(config.max_iter):
+    for i in range(config.max_iter if n_steps is None else n_steps):
         cam_np, frame_np = next(sampler)
         cam = jnp.asarray(cam_np)
         frame = jnp.asarray(frame_np)

@@ -49,7 +49,9 @@ def _local_loss(config: FitConfig, scene: Scene, params: dict, batch: Batch,
     band_res = (hb, config.resolution[1])
 
     def one(cam_idx, frame_idx, ref):
-        vtx = blendshape.blend(config.mode, params, scene.v_base, frame_idx,
+        vtx = blendshape.blend(config.mode,
+                               {**params, "deltas": scene.deltas},
+                               scene.v_base, frame_idx,
                                config.combined_corrective_coefficient)
         verts3 = vtx.reshape(-1, 3)
         mvp = build_mvp(scene, params, cam_idx, frame_idx)

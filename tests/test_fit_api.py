@@ -1,0 +1,97 @@
+"""fit_take end-to-end: real file layout -> fit -> reference-format results."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fpc_diffrend_tpu.data import obj as objlib
+from fpc_diffrend_tpu.fit import api as fit_api
+from fpc_diffrend_tpu.fit.config import FitConfig
+
+
+RES = (24, 24)
+
+
+@pytest.fixture()
+def take_dirs(tmp_path):
+    # base mesh: a quad big enough to be visible from the synthetic camera
+    verts = np.array([[-15, -15, 0], [15, -15, 0], [15, 15, 0], [-15, 15, 0]],
+                     np.float32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    basemesh = tmp_path / "basemesh.obj"
+    objlib.save_obj(str(basemesh), verts, uv, faces)
+
+    # two blendshapes (small vertex offsets)
+    bl_dir = tmp_path / "blendshapes"
+    bl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        objlib.save_obj(str(bl_dir / f"bs{i}.obj"),
+                        verts + rng.normal(scale=0.1, size=verts.shape)
+                        .astype(np.float32), uv, faces)
+
+    # calibration: synthetic pinhole looking at the quad from z=-30 (OpenCV
+    # convention: world origin maps to z=+30 in camera space)
+    calib = {
+        "cam0": {
+            "intrinsic": [[24.0, 0, 12.0], [0, 24.0, 12.0], [0, 0, 1]],
+            "distortion": [[0], [0], [0], [0], [0]],
+            "rotation": np.eye(3).tolist(),
+            "translation": [[0.0], [0.0], [30.0]],
+        }
+    }
+    calibpath = tmp_path / "calibration.json"
+    calibpath.write_text(json.dumps(calib))
+
+    # reference frames: flat grey images, 2 frames
+    imdir = tmp_path / "take"
+    camdir = imdir / "take_cam0"
+    camdir.mkdir(parents=True)
+    for f in range(2):
+        img = np.full(RES, 90, np.uint8)
+        Image.fromarray(img).save(camdir / f"take_cam0_{f:02d}.tif")
+
+    return tmp_path
+
+
+def test_fit_take_end_to_end(take_dirs, tmp_path):
+    out_dir = str(tmp_path / "out")
+    config = FitConfig(
+        max_iter=6, lr_base=1e-4, lr_t=1e-4, lr_q=1e-5,
+        basemeshpath=str(take_dirs / "basemesh.obj"),
+        localblpath=str(take_dirs / "blendshapes"),
+        imdir=str(take_dirs / "take"),
+        calibpath=str(take_dirs / "calibration.json"),
+        out_dir=out_dir, resolution=RES, texshape=(8, 8, 1),
+        mode="prior", cam_idxs=(0,), batch_size=2, raster_impl="scan",
+        log_interval=2,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_interval=4)
+
+    state = fit_api.fit_take(config)
+    assert int(state.step) == 6
+    assert np.isfinite(np.asarray(state.params["tex"])).all()
+
+    result = os.path.join(out_dir, "result")
+    assert os.path.exists(os.path.join(result, "0.obj"))
+    assert os.path.exists(os.path.join(result, "1.obj"))
+    assert os.path.exists(os.path.join(result, "pose.json"))
+    assert os.path.exists(os.path.join(out_dir, "config.txt"))
+
+    # checkpoint was written and resume continues from it
+    from fpc_diffrend_tpu.fit import checkpoint as ckpt_mod
+    assert ckpt_mod.latest_checkpoint(str(tmp_path / "ckpt"))
+
+    import dataclasses
+    config2 = dataclasses.replace(config, max_iter=8)
+    state2 = fit_api.fit_take(config2, resume=True)
+    assert int(state2.step) == 8
+
+
+def test_fit_take_rejects_bad_mode(take_dirs):
+    config = FitConfig(mode="bogus")
+    with pytest.raises(ValueError, match="bogus"):
+        config.validate()
