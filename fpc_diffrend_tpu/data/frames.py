@@ -41,18 +41,35 @@ def load_take(imdir: str, cams: list[str], clip_max: int = 140,
     if cache and os.path.exists(cache):
         return np.load(cache, mmap_mode="r")
 
-    from PIL import Image
-
     n_frames, digits = assert_num_frames(cams, imdir)
-    first = np.array(Image.open(os.path.join(
-        imdir, cams[0], f"{cams[0]}_{0:0{digits}d}.tif")))
-    out = np.empty((len(cams), n_frames) + first.shape[:2], np.uint8)
-    for ci, cam in enumerate(cams):
-        for fi in range(n_frames):
-            img = np.array(Image.open(os.path.join(
-                imdir, cam, f"{cam}_{fi:0{digits}d}.tif")))
-            img = np.clip(img, 0, clip_max)
-            out[ci, fi] = img[::-1].astype(np.uint8)
+    paths = [os.path.join(imdir, cam, f"{cam}_{fi:0{digits}d}.tif")
+             for cam in cams for fi in range(n_frames)]
+
+    out = None
+    # fast path: the native threaded TIFF decoder (runtime/csrc)
+    try:
+        from fpc_diffrend_tpu.runtime import native
+
+        probe = native.tiff_probe(paths[0]) if native.available() else None
+        if probe is not None:
+            w, h = probe
+            out = native.load_tiffs(paths, w, h, clip_max=clip_max,
+                                    flip=True)
+            out = out.reshape(len(cams), n_frames, h, w)
+    except Exception:
+        out = None
+
+    if out is None:
+        from PIL import Image
+
+        first = np.array(Image.open(paths[0]))
+        out = np.empty((len(cams), n_frames) + first.shape[:2], np.uint8)
+        for ci, cam in enumerate(cams):
+            for fi in range(n_frames):
+                img = np.array(Image.open(paths[ci * n_frames + fi]))
+                img = np.clip(img, 0, clip_max)
+                out[ci, fi] = img[::-1].astype(np.uint8)
+
     if cache:
         np.save(cache, out)
     return out

@@ -131,11 +131,24 @@ def load_blendshape_deltas(localblpath: str, v_basemesh: np.ndarray,
     objs = sorted(os.listdir(localblpath))
     n = len(objs)
     v_basemesh = np.asarray(v_basemesh, dtype=np.float32).reshape(-1)
+    paths = [os.path.join(localblpath, name) for name in objs]
+
+    # fast path: native threaded OBJ vertex parser (runtime/csrc)
+    try:
+        from fpc_diffrend_tpu.runtime import native
+
+        if native.available():
+            out = native.parse_obj_vertices(paths, v_basemesh.shape[0])
+            out -= v_basemesh[None, :]
+            return out.T.copy()
+    except Exception:
+        pass
+
     out = np.empty((n, v_basemesh.shape[0]), dtype=np.float32)
     for i, name in enumerate(objs):
         if progress_every and i % progress_every == 0:
             print(f"Blendshape {i}/{n}")
-        verts = load_obj_vertices(os.path.join(localblpath, name))
+        verts = load_obj_vertices(paths[i])
         out[i] = verts - v_basemesh
     return out.T.copy()  # (3V, B)
 
