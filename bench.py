@@ -31,6 +31,8 @@ BASELINE_MPIX_S = 500.0
 
 def main():
     import jax
+    if os.environ.get("FPC_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -44,34 +46,41 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # face-like scene: small connected-ish triangles over most of the frame
-    centers = rng.uniform(-0.85, 0.85, size=(n_tris, 1, 2)).astype(np.float32)
-    size = 2.2 / np.sqrt(n_tris)  # ~constant total coverage
-    offs = rng.uniform(-size, size, size=(n_tris, 3, 2)).astype(np.float32)
-    xy = (centers + offs).reshape(-1, 2)
-    z = rng.uniform(-0.5, 0.5, size=(n_tris * 3, 1)).astype(np.float32)
-    w = np.ones((n_tris * 3, 1), np.float32)
-    pos = np.concatenate([xy * w, z, w], axis=1)
-    faces = np.arange(n_tris * 3, dtype=np.int32).reshape(n_tris, 3)
-    uv = ((xy + 1) * 0.5).astype(np.float32)
-    topo = objlib.build_topology(faces, n_tris * 3)
+    # face-like scene: a connected deformed-grid dome (coherent triangle
+    # ids, one real silhouette) covering most of the frame — the shape of
+    # the capture workload, unlike random triangle soup.
+    g = max(2, int(np.sqrt(n_tris / 2)) + 1)
+    lin = np.linspace(-0.85, 0.85, g, dtype=np.float32)
+    gy, gx = np.meshgrid(lin, lin, indexing="ij")
+    r2 = gx ** 2 + gy ** 2
+    gz = (-0.3 * np.exp(-r2 * 2)
+          + 0.02 * rng.normal(size=gx.shape)).astype(np.float32)
+    verts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    idx = np.arange(g * g).reshape(g, g)
+    quads = np.stack([idx[:-1, :-1], idx[:-1, 1:], idx[1:, :-1], idx[1:, 1:]],
+                     axis=-1).reshape(-1, 4)
+    faces = np.concatenate([quads[:, [0, 1, 3]], quads[:, [0, 3, 2]]],
+                           axis=0).astype(np.int32)
+    n_tris = faces.shape[0]
+    uv = ((verts[:, :2] / 0.85) * 0.5 + 0.5).astype(np.float32)
+    topo = objlib.build_topology(faces, verts.shape[0])
     tex = rng.uniform(size=(1024, 1024, 1)).astype(np.float32)
     ref = rng.uniform(size=(res, res, 1)).astype(np.float32) * 255.0
 
-    pos_j = jnp.asarray(pos)
     faces_j = jnp.asarray(faces)
     uv_j = jnp.asarray(uv)
     tex_j = jnp.asarray(tex)
     ref_j = jnp.asarray(ref)
     fn_j = jnp.asarray(topo.face_neighbors)
     mvp = jnp.eye(4)
+    aa_pairs = 8 * (res + res)
 
     def loss(pos3, tex):
         img = render(mvp, pos3, faces_j, uv_j, faces_j, tex, (res, res),
-                     fn_j, impl=impl)
+                     fn_j, impl=impl, aa_max_pairs=aa_pairs)
         return jnp.mean((ref_j - img * 255.0) ** 2)
 
-    pos3 = pos_j[:, :3] / pos_j[:, 3:4]  # object coords (w folded in)
+    pos3 = jnp.asarray(verts)
 
     vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
 

@@ -84,23 +84,36 @@ def fit_take(config: FitConfig, resume: bool = True):
             state = ckpt_mod.restore_checkpoint(latest, state)
 
     t0 = time.time()
+    metrics_path = os.path.join(config.out_dir, "metrics.jsonl")
+    metrics_file = open(metrics_path, "a")
 
     def log_cb(i, st, metrics):
-        print(f"It[{i}] - Loss: {float(metrics['loss']):.4f} - "
-              f"{(i + 1) / max(time.time() - t0, 1e-9):.2f} it/s", flush=True)
+        loss = float(metrics["loss"])
+        rate = (i + 1) / max(time.time() - t0, 1e-9)
+        print(f"It[{i}] - Loss: {loss:.4f} - {rate:.2f} it/s", flush=True)
+        import json as _json
+
+        metrics_file.write(_json.dumps(
+            {"step": int(st.step), "loss": loss, "it_per_s": rate}) + "\n")
+        metrics_file.flush()
 
     callbacks = [log_cb]
     if config.checkpoint_dir and config.checkpoint_interval:
         callbacks.append(ckpt_mod.checkpoint_callback(
             config.checkpoint_dir, config.checkpoint_interval))
 
-    remaining = config.max_iter - int(state.step)
-    if remaining > 0:
-        state = loop_mod.run_fit(config, scene, frames_u8, n_frames,
-                                 callbacks=callbacks, state=state,
-                                 n_steps=remaining)
-    jax.block_until_ready(state.params)
-
-    results_mod.save_results(config, scene, state.params, n_frames)
+    # Like the reference (fit.py:644-652), an interrupt still saves results.
+    try:
+        remaining = config.max_iter - int(state.step)
+        if remaining > 0:
+            state = loop_mod.run_fit(config, scene, frames_u8, n_frames,
+                                     callbacks=callbacks, state=state,
+                                     n_steps=remaining)
+        jax.block_until_ready(state.params)
+    except KeyboardInterrupt:
+        print("Interrupted — saving partial results...")
+    finally:
+        metrics_file.close()
+        results_mod.save_results(config, scene, state.params, n_frames)
     print("Done")
     return state

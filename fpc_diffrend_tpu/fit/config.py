@@ -57,6 +57,10 @@ class FitConfig:
     weight_normalconsistency: float = 0.0
     regularize_correctives: bool = False
     regularize_prior: bool = False
+    # temporal smoothness across neighboring frames (BASELINE.json config
+    # 3; no reference equivalent): L2 on pose/activation deltas between
+    # frame f and f-1.
+    weight_temporal: float = 0.0
 
     # --- scene / mode (reference fit.py:349-356) ---
     cam_idxs: Tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7, 8)
@@ -69,6 +73,7 @@ class FitConfig:
     batch_size: int = 1          # (cam, frame) samples per step (vs 1, fit.py:525)
     seed: int = 0
     raster_impl: str = "auto"    # auto | pallas | scan
+    aa_max_pairs: int = 0        # 0 = auto (8*(H+W)); -1 = exact full grid
     checkpoint_interval: int = 0  # steps between orbax checkpoints (0 = off)
     checkpoint_dir: str = ""
     mesh_axes: Tuple[str, ...] = ()   # e.g. ("frame", "view") for sharding

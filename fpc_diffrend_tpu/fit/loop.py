@@ -63,8 +63,19 @@ def render_sample(config: FitConfig, scene: Scene, params: dict,
     img = render(mvp, verts3, scene.faces, scene.uv, scene.uv_idx,
                  params["tex"], tuple(config.resolution),
                  scene.face_neighbors, enable_mip=config.enable_mip,
-                 max_mip_level=config.max_mip_level, impl=config.raster_impl)
+                 max_mip_level=config.max_mip_level, impl=config.raster_impl,
+                 aa_max_pairs=resolve_aa_max_pairs(config))
     return img, verts3
+
+
+def resolve_aa_max_pairs(config: FitConfig) -> int | None:
+    """Config knob -> antialias cap: 0 = auto, -1 = exact full grid."""
+    if config.aa_max_pairs == -1:
+        return None
+    if config.aa_max_pairs == 0:
+        h, w = config.resolution
+        return 8 * (h + w)
+    return config.aa_max_pairs
 
 
 def loss_fn(params: dict, config: FitConfig, scene: Scene, batch: Batch,
@@ -81,6 +92,8 @@ def loss_fn(params: dict, config: FitConfig, scene: Scene, batch: Batch,
            + config.weight_normalconsistency * mnc.mean())
     extra = losses_mod.staging_regularizers(config, params, batch.frame_idx,
                                             step)
+    extra = extra + losses_mod.temporal_smoothness(config, params,
+                                                   batch.frame_idx)
     total = pix + reg + extra
     metrics = {"loss": total, "pix": pix,
                "mel": config.weight_meshedge * mel.mean(),

@@ -38,6 +38,24 @@ def mesh_regularizers(config: FitConfig, scene: Scene, verts3: Array):
     return mel, lap, mnc
 
 
+def temporal_smoothness(config: FitConfig, params: dict, frame_idx) -> Array:
+    """L2 penalty on pose deltas between each sampled frame and its
+    predecessor (BASELINE.json config 3: multi-frame sequences with
+    temporal smoothness; new capability, no reference equivalent).
+
+    Uses the per-frame pose tensors directly, so with frame-sharded
+    multi-host training only the one-neighbor halo couples shards.
+    """
+    if config.weight_temporal == 0.0:
+        return jnp.float32(0.0)
+    prev = jnp.maximum(frame_idx - 1, 0)
+    dt = params["per_frame_t"][frame_idx] - params["per_frame_t"][prev]
+    dq = params["per_frame_q"][frame_idx] - params["per_frame_q"][prev]
+    gate = (frame_idx > 0).astype(jnp.float32)
+    per = (jnp.sum(dt * dt, axis=-1) + jnp.sum(dq * dq, axis=-1)) * gate
+    return config.weight_temporal * jnp.mean(per)
+
+
 def staging_regularizers(config: FitConfig, params: dict, frame_idx, step):
     """Optional L2 terms on correctives / prior activations (fit.py:584-595)."""
     extra = jnp.float32(0.0)

@@ -99,7 +99,7 @@ def _pair_blend(color_a, color_b, rast_a, rast_b, centers_a, centers_b,
 
 
 def antialias(color: Array, rast: Array, pos_clip: Array, faces: Array,
-              face_neighbors: Array) -> Array:
+              face_neighbors: Array, max_pairs: int | None = None) -> Array:
     """Antialias silhouette edges of a rendered image.
 
     :param color: (H, W, C) shaded image.
@@ -108,11 +108,21 @@ def antialias(color: Array, rast: Array, pos_clip: Array, faces: Array,
     :param faces: (T, 3) int32 triangle indices.
     :param face_neighbors: (T, 3) int32 per-edge adjacent face (or -1),
         from data.obj.build_topology.
+    :param max_pairs: when set, use the compacted path: gather only the
+        pixel pairs whose triangle ids differ (O(silhouette length), far
+        fewer than 2*H*W) up to this static cap per direction. Pairs
+        beyond the cap are dropped — size it generously (the default
+        full-grid path is exact but does per-pair math and, in the
+        backward pass, scatter-adds for every pixel).
     :return: (H, W, C) antialiased image.
     """
     height, width = color.shape[0], color.shape[1]
     sv = screen_vertices(pos_clip, width, height)      # (V, 3) differentiable
     tri_screen = sv[faces][:, :, :2]                   # (T, 3, 2)
+
+    if max_pairs is not None:
+        return _antialias_compact(color, rast, tri_screen, face_neighbors,
+                                  max_pairs)
 
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
@@ -135,5 +145,56 @@ def antialias(color: Array, rast: Array, pos_clip: Array, faces: Array,
         centers[:-1, :], centers[1:, :], tri_screen, face_neighbors)
     out = out.at[:-1, :].add(da)
     out = out.at[1:, :].add(db)
+
+    return out
+
+
+def _antialias_compact(color, rast, tri_screen, face_neighbors,
+                       max_pairs: int):
+    """Compacted antialias: per-pair math only at id discontinuities.
+
+    The pair mask is discrete (computed from ids under stop_gradient
+    semantics), so compaction does not change gradients — it only skips
+    pairs whose delta is structurally zero.
+    """
+    height, width = color.shape[0], color.shape[1]
+    ids = rast[..., 3].astype(jnp.int32)
+    out = color
+
+    for direction in ("h", "v"):
+        if direction == "h":
+            differs = ids[:, :-1] != ids[:, 1:]
+            pw = width - 1
+            n = height * pw
+        else:
+            differs = ids[:-1, :] != ids[1:, :]
+            pw = width
+            n = (height - 1) * width
+
+        (flat_idx,) = jnp.nonzero(differs.reshape(-1), size=max_pairs,
+                                  fill_value=n)
+        valid = flat_idx < n
+        safe = jnp.minimum(flat_idx, n - 1)
+        ay = safe // pw
+        ax = safe % pw
+        if direction == "h":
+            by, bx = ay, ax + 1
+        else:
+            by, bx = ay + 1, ax
+
+        ca = color[ay, ax]
+        cb = color[by, bx]
+        ra = rast[ay, ax]
+        rb = rast[by, bx]
+        centers_a = jnp.stack([ax.astype(jnp.float32) + 0.5,
+                               ay.astype(jnp.float32) + 0.5], axis=-1)
+        centers_b = jnp.stack([bx.astype(jnp.float32) + 0.5,
+                               by.astype(jnp.float32) + 0.5], axis=-1)
+        da, db = _pair_blend(ca, cb, ra, rb, centers_a, centers_b,
+                             tri_screen, face_neighbors)
+        da = jnp.where(valid[:, None], da, 0.0)
+        db = jnp.where(valid[:, None], db, 0.0)
+        out = out.at[ay, ax].add(da)
+        out = out.at[by, bx].add(db)
 
     return out

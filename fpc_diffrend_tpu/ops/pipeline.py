@@ -34,11 +34,13 @@ BACKGROUND = 45.0 / 255.0  # reference fit.py:161
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resolution", "enable_mip", "max_mip_level", "impl"))
+    static_argnames=("resolution", "enable_mip", "max_mip_level", "impl",
+                     "aa_max_pairs"))
 def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
            tex: Array, resolution: Tuple[int, int], face_neighbors: Array,
            enable_mip: bool = False, max_mip_level: int = 0,
-           impl: str = "auto", background: float = BACKGROUND) -> Array:
+           impl: str = "auto", background: float = BACKGROUND,
+           aa_max_pairs: int | None = None) -> Array:
     """Render one view; differentiable w.r.t. pos, tex (and mvp).
 
     :param mvp: (4, 4) modelview-projection matrix.
@@ -52,6 +54,8 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
     :param enable_mip / max_mip_level: trilinear mipmap sampling
         (reference fit.py:153-158).
     :param impl: rasterizer visibility implementation ("auto"/"pallas"/"scan").
+    :param aa_max_pairs: antialias compaction cap (ops/antialias.py); None
+        = exact full-grid pass.
     :return: (H, W, C) image in [0, 1], row 0 = bottom (GL convention).
     """
     pos_clip = transform_clip(mvp, pos)
@@ -68,6 +72,7 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
         texc, _ = interpolate(uv, rast, uv_idx)
         colour = texture(tex, texc, filter_mode="linear")
 
-    colour = antialias(colour, rast, pos_clip, pos_idx, face_neighbors)
+    colour = antialias(colour, rast, pos_clip, pos_idx, face_neighbors,
+                       max_pairs=aa_max_pairs)
     colour = jnp.where(rast[..., 3:] > 0, colour, background)
     return colour

@@ -40,7 +40,7 @@ def band_window_matrix(band: Array, n_bands: int) -> Array:
 def render_band(mvp: Array, pos: Array, pos_idx: Array, uv: Array,
                 uv_idx: Array, tex: Array, band_resolution, face_neighbors,
                 band: Array, n_bands: int, enable_mip=False, max_mip_level=0,
-                impl="auto", axis_name=None):
+                impl="auto", axis_name=None, aa_max_pairs=None):
     """Render one band; if ``axis_name`` is set, do the AA seam exchange.
 
     :param band_resolution: (H_band, W) of this band.
@@ -73,7 +73,8 @@ def render_band(mvp: Array, pos: Array, pos_idx: Array, uv: Array,
                                            axis_name, n_bands)
     else:
         seam_delta = None
-    colour = aa.antialias(colour, rast, band_clip, pos_idx, face_neighbors)
+    colour = aa.antialias(colour, rast, band_clip, pos_idx, face_neighbors,
+                          max_pairs=aa_max_pairs)
     if seam_delta is not None:
         colour = colour + seam_delta
 

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fpc_diffrend_tpu.fit import losses as losses_mod
 from fpc_diffrend_tpu.fit import state as state_mod
 from fpc_diffrend_tpu.fit.config import FitConfig
-from fpc_diffrend_tpu.fit.loop import Batch, build_mvp
+from fpc_diffrend_tpu.fit.loop import Batch, build_mvp, resolve_aa_max_pairs
 from fpc_diffrend_tpu.fit.scene import Scene
 from fpc_diffrend_tpu.models import blendshape
 from fpc_diffrend_tpu.parallel import spatial
@@ -60,7 +60,8 @@ def _local_loss(config: FitConfig, scene: Scene, params: dict, batch: Batch,
             band_res, scene.face_neighbors, band, n_bands,
             enable_mip=config.enable_mip, max_mip_level=config.max_mip_level,
             impl=config.raster_impl,
-            axis_name="tile" if n_bands > 1 else None)
+            axis_name="tile" if n_bands > 1 else None,
+            aa_max_pairs=resolve_aa_max_pairs(config))
         # ref arrives as the full-frame image; take this band's rows
         ref_band = jax.lax.dynamic_slice_in_dim(ref, band * hb, hb, axis=0)
         pix_sum = jnp.sum((ref_band - img * 255.0) ** 2)
@@ -76,12 +77,14 @@ def _local_loss(config: FitConfig, scene: Scene, params: dict, batch: Batch,
     # psum counts them once; divide by global batch size for the mean.
     local = (jnp.sum(pix_sums) / (batch_scale * n_px)
              + jnp.sum(regs) / (batch_scale * n_bands))
-    # staging terms are computed identically on every device: divide by the
-    # total device count so the psum yields them once.
-    extra = losses_mod.staging_regularizers(config, params, batch.frame_idx,
-                                            step)
-    n_dev = (batch_scale / batch.cam_idx.shape[0]) * n_bands
-    return local + extra / n_dev
+    # staging/temporal terms use this device's local frame batch; divide by
+    # the tile replication so the psum counts each sample group once.
+    extra = (losses_mod.staging_regularizers(config, params, batch.frame_idx,
+                                             step)
+             + losses_mod.temporal_smoothness(config, params,
+                                              batch.frame_idx))
+    dp_groups = batch_scale / batch.cam_idx.shape[0]
+    return local + extra / (dp_groups * n_bands)
 
 
 def make_sharded_train_step(config: FitConfig, scene: Scene, mesh: Mesh):

@@ -93,3 +93,42 @@ def test_antialias_gradient_flows_to_vertices():
     assert np.isfinite(g).all()
     # x-coordinates must receive gradient (silhouette motion)
     assert np.abs(g[:, 0]).max() > 0
+
+
+def test_compact_antialias_matches_full():
+    """Compacted path == full-grid path (values and gradients)."""
+    import jax
+
+    pos, faces, neighbors = tri_scene(0.07)
+    H = W = 64
+    rast, _ = r.rasterize(pos, faces, (H, W), impl="scan")
+    color = jnp.where(rast[..., 3:] > 0, 0.9, 0.1)
+
+    from fpc_diffrend_tpu.ops.antialias import antialias as aa_fn
+
+    full = aa_fn(color, rast, pos, faces, neighbors)
+    compact = aa_fn(color, rast, pos, faces, neighbors, max_pairs=1024)
+    np.testing.assert_allclose(np.asarray(compact), np.asarray(full),
+                               atol=1e-6)
+
+    def loss(p, fn_kwargs):
+        aa = aa_fn(color, rast, p, faces, neighbors, **fn_kwargs)
+        wmap = jnp.linspace(0.0, 1.0, W)[None, :, None]
+        return jnp.sum(aa * wmap)
+
+    g_full = jax.grad(lambda p: loss(p, {}))(pos)
+    g_compact = jax.grad(lambda p: loss(p, {"max_pairs": 1024}))(pos)
+    np.testing.assert_allclose(np.asarray(g_compact), np.asarray(g_full),
+                               atol=1e-5)
+
+
+def test_compact_antialias_cap_overflow_drops_gracefully():
+    pos, faces, neighbors = tri_scene()
+    H = W = 64
+    rast, _ = r.rasterize(pos, faces, (H, W), impl="scan")
+    color = jnp.where(rast[..., 3:] > 0, 1.0, 0.0)
+    from fpc_diffrend_tpu.ops.antialias import antialias as aa_fn
+
+    # absurdly small cap: still finite, no crash, partial AA
+    out = aa_fn(color, rast, pos, faces, neighbors, max_pairs=4)
+    assert np.isfinite(np.asarray(out)).all()
