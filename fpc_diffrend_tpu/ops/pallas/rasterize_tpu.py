@@ -29,6 +29,7 @@ z-range culled to [-1, 1], nearest-z wins.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -102,9 +103,10 @@ def triangle_setup(pos_clip: Array, faces: Array, height: int, width: int):
     c2 = jnp.where(valid, c2, neg)
 
     tri_id_f = jnp.arange(faces.shape[0], dtype=jnp.float32)
-    pad = jnp.zeros_like(tri_id_f)
+    # slots 13-15: the clip-space w of each vertex (used by the gradient
+    # kernel for the perspective-correction chain).
     data = jnp.stack([a0, b0, c0, a1, b1, c1, a2, b2, c2, zx, zy, zc,
-                      tri_id_f, pad, pad, pad], axis=1)
+                      tri_id_f, fw[:, 0], fw[:, 1], fw[:, 2]], axis=1)
 
     xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
     xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
@@ -123,13 +125,20 @@ def triangle_setup(pos_clip: Array, faces: Array, height: int, width: int):
     return data, tile_bbox, valid
 
 
-def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
-                  height: int, width: int):
-    """Group triangles by tile via one int32 key sort.
+class Bins(NamedTuple):
+    """Tile-binned triangle records (see bin_triangles)."""
 
-    :return: (sorted_data (P, 16), bin_start (n_tiles + 1,) i32,
-              global_data (MAX_GLOBAL, 16), n_global (1,) i32)
-    """
+    sorted_data_t: Array    # (16, P) transposed records, tile-grouped
+    bin_start: Array        # (n_tiles + 1,) i32 bin offsets into P
+    global_data_t: Array    # (16, MAX_GLOBAL) oversized-triangle records
+    n_global: Array         # (1,) i32
+    sorted_tri: Array       # (P_raw,) i32 triangle index per sorted pair
+    global_idx: Array       # (MAX_GLOBAL,) i32 triangle index per global row
+
+
+def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
+                  height: int, width: int) -> "Bins":
+    """Group triangles by tile via one int32 key sort."""
     T = data.shape[0]
     gx = (width + TILE_W - 1) // TILE_W
     gy = (height + TILE_H - 1) // TILE_H
@@ -186,7 +195,9 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
     global_data = jnp.where((big_idx < T)[:, None],
                             data[jnp.minimum(big_idx, T - 1)], 0.0)
     global_data_t = global_data.T  # (16, MAX_GLOBAL)
-    return sorted_data_t, bin_start, global_data_t, n_global.reshape(1)
+    return Bins(sorted_data_t=sorted_data_t, bin_start=bin_start,
+                global_data_t=global_data_t, n_global=n_global.reshape(1),
+                sorted_tri=sorted_tri, global_idx=big_idx)
 
 
 # ----------------------------------------------------------------------------
@@ -299,23 +310,34 @@ def _visibility_kernel(gx: int,
 # Public entry
 # ----------------------------------------------------------------------------
 
-@functools.partial(jax.jit,
-                   static_argnames=("height", "width", "interpret"))
-def visibility_pallas(pos_clip: Array, faces: Array, height: int, width: int,
-                      interpret: bool = False) -> Array:
-    """(H, W) int32 winning triangle ids; -1 = background.
-
-    Drop-in replacement for ops.rasterize.visibility_scan, O(bin work)
-    instead of O(T * H * W).
-    """
+def pad_resolution(height: int, width: int):
     ph = (height + TILE_H - 1) // TILE_H * TILE_H
     pw = (width + TILE_W - 1) // TILE_W * TILE_W
-    gy, gx = ph // TILE_H, pw // TILE_W
+    return ph, pw
 
+
+def bin_scene(pos_clip: Array, faces: Array, height: int, width: int):
+    """Triangle setup + binning for a render target; shared between the
+    visibility and gradient kernels.
+
+    :return: (data (T, 16), Bins)
+    """
+    ph, pw = pad_resolution(height, width)
     data, tile_bbox, valid = triangle_setup(pos_clip, faces.astype(jnp.int32),
                                             height, width)
-    sorted_data, bin_start, global_data, n_global = bin_triangles(
-        data, tile_bbox, valid, ph, pw)
+    bins = bin_triangles(data, tile_bbox, valid, ph, pw)
+    return data, bins
+
+
+def visibility_from_bins(bins: "Bins", height: int, width: int,
+                         interpret: bool = False) -> Array:
+    """(H, W) int32 winning triangle ids from precomputed bins."""
+    ph, pw = pad_resolution(height, width)
+    gy, gx = ph // TILE_H, pw // TILE_W
+    sorted_data = bins.sorted_data_t
+    bin_start = bins.bin_start
+    global_data = bins.global_data_t
+    n_global = bins.n_global
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -349,3 +371,16 @@ def visibility_pallas(pos_clip: Array, faces: Array, height: int, width: int,
     )(bin_start, n_global, sorted_data, global_data)
 
     return idbuf[:height, :width]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "interpret"))
+def visibility_pallas(pos_clip: Array, faces: Array, height: int, width: int,
+                      interpret: bool = False) -> Array:
+    """(H, W) int32 winning triangle ids; -1 = background.
+
+    Drop-in replacement for ops.rasterize.visibility_scan, O(bin work)
+    instead of O(T * H * W).
+    """
+    _, bins = bin_scene(pos_clip, faces, height, width)
+    return visibility_from_bins(bins, height, width, interpret=interpret)

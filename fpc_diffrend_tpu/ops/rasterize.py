@@ -236,19 +236,141 @@ def pixel_attributes(pos_clip: Array, faces: Array, idbuf: Array,
 
 
 # ----------------------------------------------------------------------------
+# Fused pixel evaluation with a Pallas backward (TPU production grad path)
+# ----------------------------------------------------------------------------
+
+def _pixel_eval_from_data(data: Array, idbuf: Array, height: int, width: int):
+    """(u, v, z, mask) per pixel from gathered 16-float triangle records.
+
+    Same math as pixel_attributes but in the edge-plane-coefficient
+    formulation shared with the Pallas kernels (records from
+    pallas.rasterize_tpu.triangle_setup).
+    """
+    ids = jnp.maximum(idbuf, 0)
+    mask = idbuf >= 0
+    rec = data[ids]                                   # (H, W, 16)
+    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5,
+                          (height, width))
+    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5,
+                          (height, width))
+    l0 = rec[..., 0] * px + rec[..., 1] * py + rec[..., 2]
+    l1 = rec[..., 3] * px + rec[..., 4] * py + rec[..., 5]
+    l2 = rec[..., 6] * px + rec[..., 7] * py + rec[..., 8]
+    z = rec[..., 9] * px + rec[..., 10] * py + rec[..., 11]
+    w0, w1, w2 = rec[..., 13], rec[..., 14], rec[..., 15]
+    d0 = l0 / jnp.where(jnp.abs(w0) > _W_EPS, w0, 1.0)
+    d1 = l1 / jnp.where(jnp.abs(w1) > _W_EPS, w1, 1.0)
+    d2 = l2 / jnp.where(jnp.abs(w2) > _W_EPS, w2, 1.0)
+    denom = d0 + d1 + d2
+    inv_denom = jnp.where(jnp.abs(denom) > _AREA_EPS, 1.0 / denom, 0.0)
+    u = jnp.where(mask, d0 * inv_denom, 0.0)
+    v = jnp.where(mask, d1 * inv_denom, 0.0)
+    z = jnp.where(mask, z, 0.0)
+    return u, v, z, mask
+
+
+def _pixel_db_from_data(data: Array, idbuf: Array, height: int, width: int):
+    """(H, W, 4) perspective-correct bary pixel derivatives from records.
+
+    dlambda_i/dx = a_i, dlambda_i/dy = b_i (the edge-plane coefficients),
+    so no extra per-pixel geometry is needed. Differentiable through the
+    record gather (the gradient path only activates under mip filtering).
+    """
+    ids = jnp.maximum(idbuf, 0)
+    mask = idbuf >= 0
+    rec = data[ids]
+    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5,
+                          (height, width))
+    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5,
+                          (height, width))
+    l0 = rec[..., 0] * px + rec[..., 1] * py + rec[..., 2]
+    l1 = rec[..., 3] * px + rec[..., 4] * py + rec[..., 5]
+    l2 = rec[..., 6] * px + rec[..., 7] * py + rec[..., 8]
+    w0, w1, w2 = rec[..., 13], rec[..., 14], rec[..., 15]
+    iw0 = 1.0 / jnp.where(jnp.abs(w0) > _W_EPS, w0, 1.0)
+    iw1 = 1.0 / jnp.where(jnp.abs(w1) > _W_EPS, w1, 1.0)
+    iw2 = 1.0 / jnp.where(jnp.abs(w2) > _W_EPS, w2, 1.0)
+    d0, d1, d2 = l0 * iw0, l1 * iw1, l2 * iw2
+    denom = d0 + d1 + d2
+    inv_denom = jnp.where(jnp.abs(denom) > _AREA_EPS, 1.0 / denom, 0.0)
+    u = d0 * inv_denom
+    v = d1 * inv_denom
+    dd0_dx = rec[..., 0] * iw0
+    dd1_dx = rec[..., 3] * iw1
+    dd2_dx = rec[..., 6] * iw2
+    dd0_dy = rec[..., 1] * iw0
+    dd1_dy = rec[..., 4] * iw1
+    dd2_dy = rec[..., 7] * iw2
+    ddenom_dx = dd0_dx + dd1_dx + dd2_dx
+    ddenom_dy = dd0_dy + dd1_dy + dd2_dy
+    du_dx = (dd0_dx - u * ddenom_dx) * inv_denom
+    du_dy = (dd0_dy - u * ddenom_dy) * inv_denom
+    dv_dx = (dd1_dx - v * ddenom_dx) * inv_denom
+    dv_dy = (dd1_dy - v * ddenom_dy) * inv_denom
+    db = jnp.stack([du_dx, du_dy, dv_dx, dv_dy], axis=-1)
+    return jnp.where(mask[..., None], db, 0.0)
+
+
+def _zero_ct(x):
+    import numpy as np
+
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def pixel_eval_fused(data, idbuf, bins, height: int, width: int,
+                     interpret: bool):
+    """pixel_attributes with a Pallas-kernel backward (no pixel scatters).
+
+    :param data: (T, 16) triangle records (differentiable input).
+    :param bins: pallas.rasterize_tpu.Bins (stop-gradient residuals).
+    """
+    return _pixel_eval_from_data(data, idbuf, height, width)
+
+
+def _pixel_eval_fwd(data, idbuf, bins, height, width, interpret):
+    out = _pixel_eval_from_data(data, idbuf, height, width)
+    return out, (idbuf, bins, data.shape[0])
+
+
+def _pixel_eval_bwd(height, width, interpret, res, cts):
+    from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
+
+    idbuf, bins, n_tris = res
+    gu, gv, gz, _gmask = cts
+    grad_data = pixel_grad_pallas(bins, idbuf, gu, gv, gz, n_tris,
+                                  height, width, interpret=interpret)
+    return (grad_data, _zero_ct(idbuf),
+            jax.tree.map(_zero_ct, bins))
+
+
+pixel_eval_fused.defvjp(_pixel_eval_fwd, _pixel_eval_bwd)
+
+
+# ----------------------------------------------------------------------------
 # Public API
 # ----------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("resolution", "impl", "with_db"))
+@functools.partial(jax.jit, static_argnames=("resolution", "impl", "with_db",
+                                             "interpret"))
 def rasterize(pos_clip: Array, faces: Array, resolution: Tuple[int, int],
-              impl: str = "auto", with_db: bool = True):
+              impl: str = "auto", with_db: bool = True,
+              interpret: bool = False):
     """Rasterize clip-space triangles; nvdiffrast-compatible output.
 
     :param pos_clip: (V, 4) float32 clip-space vertex positions.
     :param faces: (T, 3) int32 triangle vertex indices.
     :param resolution: (height, width).
-    :param impl: "auto" | "pallas" | "scan" visibility implementation.
+    :param impl: visibility/gradient implementation:
+        "pallas" — Pallas visibility kernel + Pallas gradient kernel
+                   (production TPU path: pixel->triangle reductions happen
+                   in-tile, no image-sized scatters in the backward);
+        "scan"   — XLA reference path (any backend, autodiff gradients);
+        "auto"   — pallas on TPU else scan.
     :param with_db: also return the (H, W, 4) bary-derivative image.
+    :param interpret: run Pallas kernels in interpreter mode (testing).
     :return: rast (H, W, 4) = (u, v, z_ndc, tri_id + 1); optionally
              rast_db (H, W, 4) = (du/dx, du/dy, dv/dx, dv/dy).
     """
@@ -257,24 +379,31 @@ def rasterize(pos_clip: Array, faces: Array, resolution: Tuple[int, int],
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
-    if impl == "pallas":
-        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import visibility_pallas
 
-        idbuf = visibility_pallas(jax.lax.stop_gradient(pos_clip), faces,
-                                  height, width)
+    if impl == "pallas":
+        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+            bin_scene, visibility_from_bins)
+
+        data, bins = bin_scene(pos_clip, faces, height, width)
+        bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
+        idbuf = visibility_from_bins(bins_sg, height, width,
+                                     interpret=interpret)
+        u, v, z, mask = pixel_eval_fused(data, idbuf, bins_sg,
+                                         height, width, interpret)
+        db = (_pixel_db_from_data(data, idbuf, height, width)
+              if with_db else None)
     elif impl == "scan":
         idbuf = visibility_scan(jax.lax.stop_gradient(pos_clip), faces,
                                 height, width)
+        if with_db:
+            u, v, z, mask, db = pixel_attributes(pos_clip, faces, idbuf,
+                                                 height, width, with_db=True)
+        else:
+            u, v, z, mask = pixel_attributes(pos_clip, faces, idbuf,
+                                             height, width, with_db=False)
+            db = None
     else:
         raise ValueError(f"unknown rasterize impl {impl!r}")
-
-    if with_db:
-        u, v, z, mask, db = pixel_attributes(pos_clip, faces, idbuf,
-                                             height, width, with_db=True)
-    else:
-        u, v, z, mask = pixel_attributes(pos_clip, faces, idbuf,
-                                         height, width, with_db=False)
-        db = None
 
     idf = jnp.where(mask, (idbuf + 1).astype(jnp.float32), 0.0)
     rast = jnp.stack([u, v, z, idf], axis=-1)
