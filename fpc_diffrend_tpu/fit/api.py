@@ -88,6 +88,8 @@ def fit_take(config: FitConfig, resume: bool = True):
     metrics_file = open(metrics_path, "a")
 
     def log_cb(i, st, metrics):
+        if config.log_interval and i % config.log_interval:
+            return
         loss = float(metrics["loss"])
         rate = (i + 1) / max(time.time() - t0, 1e-9)
         print(f"It[{i}] - Loss: {loss:.4f} - {rate:.2f} it/s", flush=True)
@@ -101,6 +103,14 @@ def fit_take(config: FitConfig, resume: bool = True):
     if config.checkpoint_dir and config.checkpoint_interval:
         callbacks.append(ckpt_mod.checkpoint_callback(
             config.checkpoint_dir, config.checkpoint_interval))
+    video = None
+    if config.mp4_interval:
+        from fpc_diffrend_tpu.utils.video import ProgressVideo, \
+            progress_callback
+
+        video = ProgressVideo(config.out_dir)
+        callbacks.append(progress_callback(
+            video, config, scene, config.mp4_interval, frames_u8))
 
     # Like the reference (fit.py:644-652), an interrupt still saves results.
     try:
@@ -114,6 +124,8 @@ def fit_take(config: FitConfig, resume: bool = True):
         print("Interrupted — saving partial results...")
     finally:
         metrics_file.close()
+        if video is not None:
+            video.close()
         results_mod.save_results(config, scene, state.params, n_frames)
     print("Done")
     return state

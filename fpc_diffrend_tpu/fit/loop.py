@@ -165,7 +165,8 @@ def run_fit(config: FitConfig, scene: Scene, frames_u8: Array,
         batch = Batch(cam_idx=cam, frame_idx=frame,
                       ref=decode_refs(frames_u8, cam, frame))
         state, metrics = train_step(config, scene, state, batch)
-        if callbacks and config.log_interval and i % config.log_interval == 0:
+        if callbacks:
+            # callbacks gate themselves on their own intervals
             for cb in callbacks:
                 cb(i, state, metrics)
     return state
