@@ -62,6 +62,10 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
     rast, rast_db = rasterize(pos_clip, pos_idx, resolution, impl=impl,
                               with_db=True)
 
+    resolved_impl = impl
+    if resolved_impl == "auto":
+        resolved_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+
     if enable_mip:
         texc, texd = interpolate(uv, rast, uv_idx, rast_db=rast_db,
                                  diff_attrs="all")
@@ -70,7 +74,15 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
                          max_mip_level=max_mip_level)
     else:
         texc, _ = interpolate(uv, rast, uv_idx)
-        colour = texture(tex, texc, filter_mode="linear")
+        if resolved_impl == "pallas" and tex.shape[-1] == 1:
+            # tile-patch matmul sampler (no gathers); clamp boundary —
+            # identical to wrap for uv inside [0,1) away from the border
+            from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+                texture_bilinear_pallas)
+
+            colour = texture_bilinear_pallas(tex, texc, False)
+        else:
+            colour = texture(tex, texc, filter_mode="linear")
 
     colour = antialias(colour, rast, pos_clip, pos_idx, face_neighbors,
                        max_pairs=aa_max_pairs)

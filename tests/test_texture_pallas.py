@@ -1,0 +1,63 @@
+"""Pallas texture kernel parity vs. the XLA bilinear path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fpc_diffrend_tpu.ops.pallas.texture_tpu import texture_bilinear_pallas
+from fpc_diffrend_tpu.ops.texture import texture
+
+
+def smooth_uv(h, w, rng, scale=0.8, offset=0.1):
+    """Coherent uv field (the workload regime the kernel targets)."""
+    ys, xs = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    u = offset + scale * xs + 0.02 * np.sin(ys * 7)
+    v = offset + scale * ys + 0.02 * np.cos(xs * 5)
+    return jnp.asarray(np.stack([u, v], -1).astype(np.float32))
+
+
+def test_forward_matches_xla_clamp(rng):
+    tex = jnp.asarray(rng.uniform(size=(128, 128, 1)).astype(np.float32))
+    texc = smooth_uv(32, 128, rng)
+    want = texture(tex, texc, boundary_mode="clamp")
+    got = texture_bilinear_pallas(tex, texc, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_forward_nonaligned_resolution(rng):
+    tex = jnp.asarray(rng.uniform(size=(128, 128, 1)).astype(np.float32))
+    texc = smooth_uv(30, 100, rng)
+    want = texture(tex, texc, boundary_mode="clamp")
+    got = texture_bilinear_pallas(tex, texc, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_gradients_match_xla(rng):
+    tex = jnp.asarray(rng.uniform(size=(128, 128, 1)).astype(np.float32))
+    texc = smooth_uv(16, 128, rng, scale=0.7, offset=0.15)
+    gimg = jnp.asarray(rng.normal(size=(16, 128, 1)).astype(np.float32))
+
+    def loss_xla(tex, texc):
+        return jnp.sum(texture(tex, texc, boundary_mode="clamp") * gimg)
+
+    def loss_pl(tex, texc):
+        return jnp.sum(texture_bilinear_pallas(tex, texc, True) * gimg)
+
+    gt_x, gc_x = jax.grad(loss_xla, argnums=(0, 1))(tex, texc)
+    gt_p, gc_p = jax.grad(loss_pl, argnums=(0, 1))(tex, texc)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x), atol=1e-4)
+    # coordinate grads match except exactly ON texel centers where the
+    # hat-function subgradient differs from the lerp branch; smooth uv
+    # fields hit those with measure zero — compare with small tolerance.
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_x),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_footprint_overflow_clamps_not_crashes(rng):
+    """UVs spanning the whole texture in one tile exceed the patch: values
+    clamp into the patch (documented) but stay finite."""
+    tex = jnp.asarray(rng.uniform(size=(512, 512, 1)).astype(np.float32))
+    texc = smooth_uv(8, 128, rng, scale=3.0, offset=-1.0)  # wild uvs
+    out = texture_bilinear_pallas(tex, texc, True)
+    assert np.isfinite(np.asarray(out)).all()
