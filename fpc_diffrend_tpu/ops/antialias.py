@@ -27,6 +27,7 @@ no data-dependent shapes — so XLA fuses it into the surrounding pipeline.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from fpc_diffrend_tpu.ops.rasterize import screen_vertices, _edge_fn
@@ -171,9 +172,15 @@ def _antialias_compact(color, rast, tri_screen, face_neighbors,
             pw = width
             n = (height - 1) * width
 
-        (flat_idx,) = jnp.nonzero(differs.reshape(-1), size=max_pairs,
-                                  fill_value=n)
-        valid = flat_idx < n
+        # top_k compaction: ~3x faster than jnp.nonzero on TPU. Priorities
+        # put true entries in (0, 1] (ascending index order) and false
+        # entries below -1, so `v > 0` flags real pairs.
+        k = min(max_pairs, n)
+        dflat = differs.reshape(-1)
+        idxf = jnp.arange(n, dtype=jnp.float32) * (1.0 / n)
+        pri = jnp.where(dflat, 1.0 - idxf, -1.0 - idxf)
+        v, flat_idx = jax.lax.top_k(pri, k)
+        valid = v > 0.0
         safe = jnp.minimum(flat_idx, n - 1)
         ay = safe // pw
         ax = safe % pw

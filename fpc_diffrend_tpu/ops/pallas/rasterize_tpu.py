@@ -384,3 +384,169 @@ def visibility_pallas(pos_clip: Array, faces: Array, height: int, width: int,
     """
     _, bins = bin_scene(pos_clip, faces, height, width)
     return visibility_from_bins(bins, height, width, interpret=interpret)
+
+
+# ----------------------------------------------------------------------------
+# Fused kernel: visibility + perspective-correct attributes in one pass
+# ----------------------------------------------------------------------------
+
+def _fused_kernel(gx: int,
+                  bin_start_ref, n_global_ref,
+                  sorted_data_hbm, global_data_hbm,
+                  id_out_ref, u_out_ref, v_out_ref, z_out_ref,
+                  chunk_vmem, global_vmem, dma_sem, global_sem):
+    """Like _visibility_kernel, but also resolves the winning record's
+    perspective-correct barycentrics per pixel (u, v) — the forward of
+    ops.rasterize.pixel_eval_fused without any per-pixel record gather."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile_idx = ti * gx + tj
+
+    start = bin_start_ref[tile_idx]
+    end = bin_start_ref[tile_idx + 1]
+    count = end - start
+    n_global = n_global_ref[0]
+
+    BIG = jnp.float32(3.0e38)
+    zbuf0 = jnp.full((TILE_H, TILE_W), BIG)
+    idbuf0 = jnp.full((TILE_H, TILE_W), jnp.float32(-1.0))
+    ubuf0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    vbuf0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    x_row = (tj * TILE_W
+             + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+             ).astype(jnp.float32) + 0.5
+    rec_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+
+    def process_chunk(vmem, rec_base, lo, hi, carry):
+        zb, ib, ub, vb = carry
+        at = vmem[:].T
+        a0 = at[:, 0:1]; b0 = at[:, 1:2]; c0 = at[:, 2:3]
+        a1 = at[:, 3:4]; b1 = at[:, 4:5]; c1 = at[:, 5:6]
+        a2 = at[:, 6:7]; b2 = at[:, 7:8]; c2 = at[:, 8:9]
+        zx = at[:, 9:10]; zy = at[:, 10:11]; zc = at[:, 11:12]
+        tid = at[:, 12:13]
+        w0 = at[:, 13:14]; w1 = at[:, 14:15]; w2 = at[:, 15:16]
+        iw0 = 1.0 / jnp.where(jnp.abs(w0) > 1e-9, w0, 1.0)
+        iw1 = 1.0 / jnp.where(jnp.abs(w1) > 1e-9, w1, 1.0)
+        iw2 = 1.0 / jnp.where(jnp.abs(w2) > 1e-9, w2, 1.0)
+        rec = rec_base + rec_iota
+        active = (rec >= lo) & (rec < hi)
+
+        z_rows = []; id_rows = []; u_rows = []; v_rows = []
+        for g in range(TILE_H):
+            y = (ti * TILE_H + g).astype(jnp.float32) + 0.5
+            l0 = a0 * x_row + (b0 * y + c0)
+            l1 = a1 * x_row + (b1 * y + c1)
+            l2 = a2 * x_row + (b2 * y + c2)
+            z = zx * x_row + (zy * y + zc)
+            covered = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                       & (z >= -1.0) & (z <= 1.0) & active)
+            zm = jnp.where(covered, z, BIG)
+            zmin = jnp.min(zm, axis=0, keepdims=True)
+            idm = jnp.where(zm <= zmin, tid, BIG)
+            idmin = jnp.min(idm, axis=0, keepdims=True)
+            # winner-select u, v: tids are unique within a bin, but the
+            # chunk window may hold the same triangle binned for a
+            # neighboring tile — require coverage (which includes the
+            # active-record mask) so exactly one row matches
+            eq = ((tid == idmin) & covered).astype(jnp.float32)
+            d0 = l0 * iw0
+            d1 = l1 * iw1
+            d2 = l2 * iw2
+            rD = 1.0 / jnp.where(jnp.abs(d0 + d1 + d2) > 1e-12,
+                                 d0 + d1 + d2, 1.0)
+            u_rows.append(jnp.sum(eq * d0 * rD, axis=0, keepdims=True))
+            v_rows.append(jnp.sum(eq * d1 * rD, axis=0, keepdims=True))
+            z_rows.append(zmin)
+            id_rows.append(idmin)
+
+        z_new = jnp.concatenate(z_rows, axis=0)
+        id_new = jnp.concatenate(id_rows, axis=0)
+        u_new = jnp.concatenate(u_rows, axis=0)
+        v_new = jnp.concatenate(v_rows, axis=0)
+        better = z_new < zb
+        zb = jnp.where(better, z_new, zb)
+        ib = jnp.where(better, id_new, ib)
+        ub = jnp.where(better, u_new, ub)
+        vb = jnp.where(better, v_new, vb)
+        return zb, ib, ub, vb
+
+    first_chunk = start // CHUNK
+    n_chunks = jnp.where(count > 0,
+                         (end - 1) // CHUNK - first_chunk + 1, 0)
+
+    def chunk_body(ci, carry):
+        col0 = (first_chunk + ci) * CHUNK
+        dma = pltpu.make_async_copy(
+            sorted_data_hbm.at[:, pl.ds(col0, CHUNK)], chunk_vmem, dma_sem)
+        dma.start()
+        dma.wait()
+        return process_chunk(chunk_vmem, col0, start, end, carry)
+
+    carry = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                              (zbuf0, idbuf0, ubuf0, vbuf0))
+
+    @pl.when(n_global > 0)
+    def _():
+        dma = pltpu.make_async_copy(global_data_hbm, global_vmem, global_sem)
+        dma.start()
+        dma.wait()
+
+    def global_body(ci, carry):
+        gblock = global_vmem.at[:, pl.ds(ci * CHUNK, CHUNK)]
+        return process_chunk(gblock, ci * CHUNK, 0, n_global, carry)
+
+    n_gchunks = (n_global + CHUNK - 1) // CHUNK
+    zbuf, idbuf, ubuf, vbuf = jax.lax.fori_loop(0, n_gchunks, global_body,
+                                                carry)
+
+    hit = zbuf < BIG
+    id_out_ref[:] = jnp.where(hit, idbuf, -1.0).astype(jnp.int32)
+    u_out_ref[:] = jnp.where(hit, ubuf, 0.0)
+    v_out_ref[:] = jnp.where(hit, vbuf, 0.0)
+    z_out_ref[:] = jnp.where(hit, zbuf, 0.0)
+
+
+def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
+                              interpret: bool = False):
+    """(idbuf, u, v, z) from precomputed bins — one kernel pass, no
+    per-pixel gathers. Values match pixel_eval_fused's formulation."""
+    ph, pw = pad_resolution(height, width)
+    gy, gx = ph // TILE_H, pw // TILE_W
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((16, CHUNK), jnp.float32),
+            pltpu.VMEM((16, MAX_GLOBAL), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    idbuf, u, v, z = pl.pallas_call(
+        functools.partial(_fused_kernel, gx),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ph, pw), jnp.int32),
+            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bins.bin_start, bins.n_global, bins.sorted_data_t, bins.global_data_t)
+
+    return (idbuf[:height, :width], u[:height, :width],
+            v[:height, :width], z[:height, :width])

@@ -59,8 +59,14 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
     :return: (H, W, C) image in [0, 1], row 0 = bottom (GL convention).
     """
     pos_clip = transform_clip(mvp, pos)
-    rast, rast_db = rasterize(pos_clip, pos_idx, resolution, impl=impl,
-                              with_db=True)
+    # db (bary screen derivatives) is only consumed by mip filtering
+    if enable_mip:
+        rast, rast_db = rasterize(pos_clip, pos_idx, resolution, impl=impl,
+                                  with_db=True)
+    else:
+        rast = rasterize(pos_clip, pos_idx, resolution, impl=impl,
+                         with_db=False)
+        rast_db = None
 
     resolved_impl = impl
     if resolved_impl == "auto":

@@ -349,6 +349,38 @@ def _pixel_eval_bwd(height, width, interpret, res, cts):
 pixel_eval_fused.defvjp(_pixel_eval_fwd, _pixel_eval_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def rasterize_fused(data, bins, height: int, width: int, interpret: bool):
+    """Fully fused rasterization: one Pallas pass yields (idbuf, u, v, z,
+    mask) with no per-pixel gathers; the backward is the Pallas gradient
+    kernel (pixel_grad_pallas). ``data`` is the differentiable input; the
+    primal only reads it through the (stop-gradient) bins."""
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        fused_rasterize_from_bins)
+
+    idbuf, u, v, z = fused_rasterize_from_bins(bins, height, width,
+                                               interpret)
+    return idbuf, u, v, z, idbuf >= 0
+
+
+def _rasterize_fused_fwd(data, bins, height, width, interpret):
+    out = rasterize_fused(data, bins, height, width, interpret)
+    return out, (out[0], bins, data.shape[0])
+
+
+def _rasterize_fused_bwd(height, width, interpret, res, cts):
+    from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
+
+    idbuf, bins, n_tris = res
+    _gid, gu, gv, gz, _gmask = cts
+    grad_data = pixel_grad_pallas(bins, idbuf, gu, gv, gz, n_tris,
+                                  height, width, interpret=interpret)
+    return (grad_data, jax.tree.map(_zero_ct, bins))
+
+
+rasterize_fused.defvjp(_rasterize_fused_fwd, _rasterize_fused_bwd)
+
+
 # ----------------------------------------------------------------------------
 # Public API
 # ----------------------------------------------------------------------------
@@ -381,15 +413,12 @@ def rasterize(pos_clip: Array, faces: Array, resolution: Tuple[int, int],
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     if impl == "pallas":
-        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
-            bin_scene, visibility_from_bins)
+        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import bin_scene
 
         data, bins = bin_scene(pos_clip, faces, height, width)
         bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
-        idbuf = visibility_from_bins(bins_sg, height, width,
-                                     interpret=interpret)
-        u, v, z, mask = pixel_eval_fused(data, idbuf, bins_sg,
-                                         height, width, interpret)
+        idbuf, u, v, z, mask = rasterize_fused(data, bins_sg,
+                                               height, width, interpret)
         db = (_pixel_db_from_data(data, idbuf, height, width)
               if with_db else None)
     elif impl == "scan":
