@@ -45,12 +45,16 @@ def _grad_kernel(gx: int,
                  # scalar prefetch
                  bin_start_ref, n_global_ref,
                  # inputs
-                 sorted_data_hbm, global_data_hbm, grad_init_hbm,
-                 ggrad_init_hbm, id_ref, gu_ref, gv_ref, gz_ref,
+                 sorted_data_hbm, global_data_hbm,
+                 sorted_aux_hbm, global_aux_hbm,
+                 grad_init_hbm, ggrad_init_hbm, gaux_init_hbm,
+                 ggaux_init_hbm,
+                 id_ref, gu_ref, gv_ref, gz_ref, gtu_ref, gtv_ref,
                  # outputs (aliased to the init inputs)
-                 grad_out_hbm, ggrad_out_hbm,
+                 grad_out_hbm, ggrad_out_hbm, gaux_out_hbm, ggaux_out_hbm,
                  # scratch
-                 chunk_vmem, out_vmem, dma_sem, out_sem):
+                 chunk_vmem, aux_vmem, out_vmem, aux_out_vmem,
+                 dma_sem, aux_sem, out_sem, aux_out_sem):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tile_idx = ti * gx + tj
@@ -65,8 +69,8 @@ def _grad_kernel(gx: int,
              ).astype(jnp.float32) + 0.5                       # (1, 128)
     rec_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-    def chunk_grads(vmem, rec_base, lo, hi):
-        """(CHUNK, 16) gradient rows for one record chunk vs this tile."""
+    def chunk_grads(vmem, auxmem, rec_base, lo, hi):
+        """((CHUNK, 16), (CHUNK, 8)) gradient rows for one record chunk."""
         at = vmem[:].T                                         # (CHUNK, 16)
         a0 = at[:, 0:1]; b0 = at[:, 1:2]; c0 = at[:, 2:3]
         a1 = at[:, 3:4]; b1 = at[:, 4:5]; c1 = at[:, 5:6]
@@ -76,6 +80,10 @@ def _grad_kernel(gx: int,
         iw0 = 1.0 / jnp.where(jnp.abs(w0) > 1e-9, w0, 1.0)
         iw1 = 1.0 / jnp.where(jnp.abs(w1) > 1e-9, w1, 1.0)
         iw2 = 1.0 / jnp.where(jnp.abs(w2) > 1e-9, w2, 1.0)
+        uvt = auxmem[:].T                                      # (CHUNK, 8)
+        cu0 = uvt[:, 0:1]; cv0 = uvt[:, 1:2]
+        cu1 = uvt[:, 2:3]; cv1 = uvt[:, 3:4]
+        cu2 = uvt[:, 4:5]; cv2 = uvt[:, 5:6]
         rec = rec_base + rec_iota
         active = ((rec >= lo) & (rec < hi)).astype(jnp.float32)
 
@@ -94,13 +102,21 @@ def _grad_kernel(gx: int,
         W0 = jnp.zeros((CHUNK, 1), jnp.float32)
         W1 = jnp.zeros((CHUNK, 1), jnp.float32)
         W2 = jnp.zeros((CHUNK, 1), jnp.float32)
+        GU0 = jnp.zeros((CHUNK, 1), jnp.float32)
+        GU1 = jnp.zeros((CHUNK, 1), jnp.float32)
+        GU2 = jnp.zeros((CHUNK, 1), jnp.float32)
+        GV0 = jnp.zeros((CHUNK, 1), jnp.float32)
+        GV1 = jnp.zeros((CHUNK, 1), jnp.float32)
+        GV2 = jnp.zeros((CHUNK, 1), jnp.float32)
 
         for g in range(TILE_H):
             y = (ti * TILE_H + g).astype(jnp.float32) + 0.5    # scalar
             idrow = id_ref[g:g + 1, :].astype(jnp.float32)     # (1, 128)
-            gu = gu_ref[g:g + 1, :]
-            gv = gv_ref[g:g + 1, :]
+            gu_in = gu_ref[g:g + 1, :]
+            gv_in = gv_ref[g:g + 1, :]
             gz = gz_ref[g:g + 1, :]
+            gtu = gtu_ref[g:g + 1, :]
+            gtv = gtv_ref[g:g + 1, :]
 
             mask = (idrow == tid).astype(jnp.float32) * active  # (CHUNK,128)
             l0 = a0 * x_row + (b0 * y + c0)
@@ -111,6 +127,12 @@ def _grad_kernel(gx: int,
             d2 = l2 * iw2
             D = d0 + d1 + d2
             rD = 1.0 / jnp.where(jnp.abs(D) > 1e-12, D, 1.0)
+            up = d0 * rD
+            vp = d1 * rD
+            # texc = u*c0 + v*c1 + (1-u-v)*c2: fold its cotangents into
+            # the bary cotangents and accumulate corner gradients
+            gu = gu_in + gtu * (cu0 - cu2) + gtv * (cv0 - cv2)
+            gv = gv_in + gtu * (cu1 - cu2) + gtv * (cv1 - cv2)
             S = (gu * d0 + gv * d1) * rD * rD
             gd0 = gu * rD - S
             gd1 = gv * rD - S
@@ -129,11 +151,32 @@ def _grad_kernel(gx: int,
             W0 += s(-gd0 * d0 * iw0 * mask)
             W1 += s(-gd1 * d1 * iw1 * mask)
             W2 += s(-gd2 * d2 * iw2 * mask)
+            wp = 1.0 - up - vp
+            GU0 += s(gtu * up * mask)
+            GU1 += s(gtu * vp * mask)
+            GU2 += s(gtu * wp * mask)
+            GV0 += s(gtv * up * mask)
+            GV1 += s(gtv * vp * mask)
+            GV2 += s(gtv * wp * mask)
 
         zero = jnp.zeros((CHUNK, 1), jnp.float32)
-        return jnp.concatenate(
+        grad16 = jnp.concatenate(
             [A0x, A0y, A0, A1x, A1y, A1, A2x, A2y, A2, Zx, Zy, Z,
              zero, W0, W1, W2], axis=1)                        # (CHUNK, 16)
+        grad8 = jnp.concatenate(
+            [GU0, GV0, GU1, GV1, GU2, GV2, zero, zero], axis=1)
+        return grad16, grad8
+
+    def rmw(vals, out_hbm, col0, vmem, sem):
+        rd = pltpu.make_async_copy(
+            out_hbm.at[:, pl.ds(col0, CHUNK)], vmem, sem)
+        rd.start()
+        rd.wait()
+        vmem[:] = vmem[:] + vals
+        wr = pltpu.make_async_copy(
+            vmem, out_hbm.at[:, pl.ds(col0, CHUNK)], sem)
+        wr.start()
+        wr.wait()
 
     # ---- binned records ----
     first_chunk = start // CHUNK
@@ -145,18 +188,14 @@ def _grad_kernel(gx: int,
         dma = pltpu.make_async_copy(
             sorted_data_hbm.at[:, pl.ds(col0, CHUNK)], chunk_vmem, dma_sem)
         dma.start()
+        adma = pltpu.make_async_copy(
+            sorted_aux_hbm.at[:, pl.ds(col0, CHUNK)], aux_vmem, aux_sem)
+        adma.start()
         dma.wait()
-        g = chunk_grads(chunk_vmem, col0, start, end)           # (CHUNK, 16)
-        # read-modify-write the output chunk (transposed layout)
-        rd = pltpu.make_async_copy(
-            grad_out_hbm.at[:, pl.ds(col0, CHUNK)], out_vmem, out_sem)
-        rd.start()
-        rd.wait()
-        out_vmem[:] = out_vmem[:] + g.T
-        wr = pltpu.make_async_copy(
-            out_vmem, grad_out_hbm.at[:, pl.ds(col0, CHUNK)], out_sem)
-        wr.start()
-        wr.wait()
+        adma.wait()
+        g16, g8 = chunk_grads(chunk_vmem, aux_vmem, col0, start, end)
+        rmw(g16.T, grad_out_hbm, col0, out_vmem, out_sem)
+        rmw(g8.T, gaux_out_hbm, col0, aux_out_vmem, aux_out_sem)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -169,17 +208,14 @@ def _grad_kernel(gx: int,
         dma = pltpu.make_async_copy(
             global_data_hbm.at[:, pl.ds(col0, CHUNK)], chunk_vmem, dma_sem)
         dma.start()
+        adma = pltpu.make_async_copy(
+            global_aux_hbm.at[:, pl.ds(col0, CHUNK)], aux_vmem, aux_sem)
+        adma.start()
         dma.wait()
-        g = chunk_grads(chunk_vmem, col0, 0, n_global)
-        rd = pltpu.make_async_copy(
-            ggrad_out_hbm.at[:, pl.ds(col0, CHUNK)], out_vmem, out_sem)
-        rd.start()
-        rd.wait()
-        out_vmem[:] = out_vmem[:] + g.T
-        wr = pltpu.make_async_copy(
-            out_vmem, ggrad_out_hbm.at[:, pl.ds(col0, CHUNK)], out_sem)
-        wr.start()
-        wr.wait()
+        adma.wait()
+        g16, g8 = chunk_grads(chunk_vmem, aux_vmem, col0, 0, n_global)
+        rmw(g16.T, ggrad_out_hbm, col0, out_vmem, out_sem)
+        rmw(g8.T, ggaux_out_hbm, col0, aux_out_vmem, aux_out_sem)
         return 0
 
     jax.lax.fori_loop(0, n_gchunks, gchunk_body, 0)
@@ -187,14 +223,17 @@ def _grad_kernel(gx: int,
 
 def pixel_grad_pallas(bins: Bins, idbuf: Array, gu: Array, gv: Array,
                       gz: Array, n_tris: int, height: int, width: int,
+                      gtu: Array | None = None, gtv: Array | None = None,
                       pair_cap: int | None = None,
-                      interpret: bool = False) -> Array:
-    """(T, 16) per-triangle record gradients from per-pixel cotangents.
+                      interpret: bool = False):
+    """Per-triangle gradients from per-pixel cotangents.
 
+    :param gtu/gtv: optional cotangents of the interpolated uv outputs.
     :param pair_cap: bin entries kept for the final segment reduction
         (valid entries are a sorted prefix). Default 6 * T — generous for
         the ~2 tiles a face-mesh triangle overlaps; entries beyond it lose
         their (tiny, late-sorted) gradient contributions.
+    :return: (grad_data (T, 16), grad_aux (T, 8)).
     """
     ph, pw = pad_resolution(height, width)
     gy, gx = ph // TILE_H, pw // TILE_W
@@ -203,52 +242,68 @@ def pixel_grad_pallas(bins: Bins, idbuf: Array, gu: Array, gv: Array,
         return jnp.pad(img, ((0, ph - height), (0, pw - width)),
                        constant_values=fill)
 
+    zero_img = jnp.zeros((height, width), jnp.float32)
     idp = pad_img(idbuf, -1).astype(jnp.float32)
     gup = pad_img(gu, 0.0)
     gvp = pad_img(gv, 0.0)
     gzp = pad_img(gz, 0.0)
+    gtup = pad_img(zero_img if gtu is None else gtu, 0.0)
+    gtvp = pad_img(zero_img if gtv is None else gtv, 0.0)
 
     P = bins.sorted_data_t.shape[1]
     grad_init = jnp.zeros((16, P), jnp.float32)
     ggrad_init = jnp.zeros((16, MAX_GLOBAL), jnp.float32)
+    gaux_init = jnp.zeros((8, P), jnp.float32)
+    ggaux_init = jnp.zeros((8, MAX_GLOBAL), jnp.float32)
 
+    img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(gy, gx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # sorted_data_t
             pl.BlockSpec(memory_space=pltpu.HBM),   # global_data_t
+            pl.BlockSpec(memory_space=pltpu.HBM),   # sorted_aux_t
+            pl.BlockSpec(memory_space=pltpu.HBM),   # global_aux_t
             pl.BlockSpec(memory_space=pltpu.HBM),   # grad init (aliased)
             pl.BlockSpec(memory_space=pltpu.HBM),   # ggrad init (aliased)
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),  # id
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),  # gu
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),  # gv
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),  # gz
-        ],
+            pl.BlockSpec(memory_space=pltpu.HBM),   # gaux init (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # ggaux init (aliased)
+            img(), img(), img(), img(), img(), img()],
         out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((16, CHUNK), jnp.float32),
+            pltpu.VMEM((8, CHUNK), jnp.float32),
             pltpu.VMEM((16, CHUNK), jnp.float32),
+            pltpu.VMEM((8, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
 
-    grad_pairs_t, grad_global_t = pl.pallas_call(
+    grad_pairs_t, grad_global_t, gaux_pairs_t, gaux_global_t = pl.pallas_call(
         functools.partial(_grad_kernel, gx),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((16, P), jnp.float32),
             jax.ShapeDtypeStruct((16, MAX_GLOBAL), jnp.float32),
+            jax.ShapeDtypeStruct((8, P), jnp.float32),
+            jax.ShapeDtypeStruct((8, MAX_GLOBAL), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1},  # init buffers -> outputs
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(bins.bin_start, bins.n_global, bins.sorted_data_t, bins.global_data_t,
-      grad_init, ggrad_init, idp, gup, gvp, gzp)
+      bins.sorted_aux_t, bins.global_aux_t,
+      grad_init, ggrad_init, gaux_init, ggaux_init,
+      idp, gup, gvp, gzp, gtup, gtvp)
 
     # Fold bin entries into per-triangle gradients. Valid entries are a
     # contiguous prefix of the sorted order, so a static cap bounds the
@@ -257,13 +312,15 @@ def pixel_grad_pallas(bins: Bins, idbuf: Array, gu: Array, gv: Array,
         pair_cap = 6 * n_tris
     n_raw = bins.sorted_tri.shape[0]
     pair_cap = min(max(pair_cap, 1), n_raw)
-    grad_pairs = grad_pairs_t.T[:pair_cap]
     seg = jnp.minimum(bins.sorted_tri[:pair_cap], n_tris)  # invalid -> T bin
-    grad_data = jax.ops.segment_sum(grad_pairs, seg,
+    both = jnp.concatenate([grad_pairs_t, gaux_pairs_t], axis=0).T
+    grad_both = jax.ops.segment_sum(both[:pair_cap], seg,
                                     num_segments=n_tris + 1)[:n_tris]
 
     # Oversized-triangle contributions.
     gidx = jnp.minimum(bins.global_idx, n_tris)
-    grad_global = jax.ops.segment_sum(grad_global_t.T, gidx,
-                                      num_segments=n_tris + 1)[:n_tris]
-    return grad_data + grad_global
+    gboth = jnp.concatenate([grad_global_t, gaux_global_t], axis=0).T
+    grad_gboth = jax.ops.segment_sum(gboth, gidx,
+                                     num_segments=n_tris + 1)[:n_tris]
+    total = grad_both + grad_gboth
+    return total[:, :16], total[:, 16:]

@@ -134,10 +134,25 @@ class Bins(NamedTuple):
     n_global: Array         # (1,) i32
     sorted_tri: Array       # (P_raw,) i32 triangle index per sorted pair
     global_idx: Array       # (MAX_GLOBAL,) i32 triangle index per global row
+    sorted_aux_t: Array     # (8, P) auxiliary per-triangle rows (uv corners)
+    global_aux_t: Array     # (8, MAX_GLOBAL)
+
+
+def uv_records(uv: Array, uv_idx: Array) -> Array:
+    """(T, 8) per-triangle uv corners [u0 v0 u1 v1 u2 v2 0 0].
+
+    Differentiable w.r.t. ``uv`` — the custom VJP chains interpolated-
+    coordinate gradients through this gather.
+    """
+    corners = uv[uv_idx]                     # (T, 3, 2)
+    flat = corners.reshape(-1, 6)
+    pad = jnp.zeros((flat.shape[0], 2), flat.dtype)
+    return jnp.concatenate([flat, pad], axis=1)
 
 
 def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
-                  height: int, width: int) -> "Bins":
+                  height: int, width: int,
+                  aux: Array | None = None) -> "Bins":
     """Group triangles by tile via one int32 key sort."""
     T = data.shape[0]
     gx = (width + TILE_W - 1) // TILE_W
@@ -192,12 +207,22 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
     big_idx = jnp.sort(big_idx)[:MAX_GLOBAL]
     n_global = jnp.sum(big).astype(jnp.int32)
     n_global = jnp.minimum(n_global, MAX_GLOBAL)
-    global_data = jnp.where((big_idx < T)[:, None],
-                            data[jnp.minimum(big_idx, T - 1)], 0.0)
+    safe_big = jnp.minimum(big_idx, T - 1)
+    global_data = jnp.where((big_idx < T)[:, None], data[safe_big], 0.0)
     global_data_t = global_data.T  # (16, MAX_GLOBAL)
+
+    if aux is None:
+        aux = jnp.zeros((T, 8), jnp.float32)
+    sorted_aux = jax.lax.stop_gradient(aux)[sorted_tri]
+    sorted_aux = jnp.concatenate(
+        [sorted_aux, jnp.zeros((pad_rows, 8), sorted_aux.dtype)], axis=0)
+    global_aux = jnp.where((big_idx < T)[:, None],
+                           jax.lax.stop_gradient(aux)[safe_big], 0.0)
+
     return Bins(sorted_data_t=sorted_data_t, bin_start=bin_start,
                 global_data_t=global_data_t, n_global=n_global.reshape(1),
-                sorted_tri=sorted_tri, global_idx=big_idx)
+                sorted_tri=sorted_tri, global_idx=big_idx,
+                sorted_aux_t=sorted_aux.T, global_aux_t=global_aux.T)
 
 
 # ----------------------------------------------------------------------------
@@ -316,16 +341,19 @@ def pad_resolution(height: int, width: int):
     return ph, pw
 
 
-def bin_scene(pos_clip: Array, faces: Array, height: int, width: int):
+def bin_scene(pos_clip: Array, faces: Array, height: int, width: int,
+              aux: Array | None = None):
     """Triangle setup + binning for a render target; shared between the
     visibility and gradient kernels.
 
+    :param aux: optional (T, 8) per-triangle auxiliary rows (uv corners)
+        carried alongside the records for the fused interpolation path.
     :return: (data (T, 16), Bins)
     """
     ph, pw = pad_resolution(height, width)
     data, tile_bbox, valid = triangle_setup(pos_clip, faces.astype(jnp.int32),
                                             height, width)
-    bins = bin_triangles(data, tile_bbox, valid, ph, pw)
+    bins = bin_triangles(data, tile_bbox, valid, ph, pw, aux=aux)
     return data, bins
 
 
@@ -393,11 +421,15 @@ def visibility_pallas(pos_clip: Array, faces: Array, height: int, width: int,
 def _fused_kernel(gx: int,
                   bin_start_ref, n_global_ref,
                   sorted_data_hbm, global_data_hbm,
+                  sorted_aux_hbm, global_aux_hbm,
                   id_out_ref, u_out_ref, v_out_ref, z_out_ref,
-                  chunk_vmem, global_vmem, dma_sem, global_sem):
+                  tu_out_ref, tv_out_ref,
+                  chunk_vmem, aux_vmem, global_vmem, gaux_vmem,
+                  dma_sem, aux_sem, global_sem, gaux_sem):
     """Like _visibility_kernel, but also resolves the winning record's
-    perspective-correct barycentrics per pixel (u, v) — the forward of
-    ops.rasterize.pixel_eval_fused without any per-pixel record gather."""
+    perspective-correct barycentrics (u, v) AND interpolated uv
+    coordinates (tu, tv) per pixel — forward rasterize + interpolate in
+    one pass without any per-pixel record gather."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tile_idx = ti * gx + tj
@@ -410,16 +442,15 @@ def _fused_kernel(gx: int,
     BIG = jnp.float32(3.0e38)
     zbuf0 = jnp.full((TILE_H, TILE_W), BIG)
     idbuf0 = jnp.full((TILE_H, TILE_W), jnp.float32(-1.0))
-    ubuf0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    vbuf0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    zero_img = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
     x_row = (tj * TILE_W
              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
              ).astype(jnp.float32) + 0.5
     rec_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-    def process_chunk(vmem, rec_base, lo, hi, carry):
-        zb, ib, ub, vb = carry
+    def process_chunk(vmem, auxmem, rec_base, lo, hi, carry):
+        zb, ib, ub, vb, tub, tvb = carry
         at = vmem[:].T
         a0 = at[:, 0:1]; b0 = at[:, 1:2]; c0 = at[:, 2:3]
         a1 = at[:, 3:4]; b1 = at[:, 4:5]; c1 = at[:, 5:6]
@@ -430,10 +461,15 @@ def _fused_kernel(gx: int,
         iw0 = 1.0 / jnp.where(jnp.abs(w0) > 1e-9, w0, 1.0)
         iw1 = 1.0 / jnp.where(jnp.abs(w1) > 1e-9, w1, 1.0)
         iw2 = 1.0 / jnp.where(jnp.abs(w2) > 1e-9, w2, 1.0)
+        uvt = auxmem[:].T
+        cu0 = uvt[:, 0:1]; cv0 = uvt[:, 1:2]
+        cu1 = uvt[:, 2:3]; cv1 = uvt[:, 3:4]
+        cu2 = uvt[:, 4:5]; cv2 = uvt[:, 5:6]
         rec = rec_base + rec_iota
         active = (rec >= lo) & (rec < hi)
 
         z_rows = []; id_rows = []; u_rows = []; v_rows = []
+        tu_rows = []; tv_rows = []
         for g in range(TILE_H):
             y = (ti * TILE_H + g).astype(jnp.float32) + 0.5
             l0 = a0 * x_row + (b0 * y + c0)
@@ -446,31 +482,37 @@ def _fused_kernel(gx: int,
             zmin = jnp.min(zm, axis=0, keepdims=True)
             idm = jnp.where(zm <= zmin, tid, BIG)
             idmin = jnp.min(idm, axis=0, keepdims=True)
-            # winner-select u, v: tids are unique within a bin, but the
-            # chunk window may hold the same triangle binned for a
-            # neighboring tile — require coverage (which includes the
-            # active-record mask) so exactly one row matches
+            # winner-select: tids are unique within a bin, but the chunk
+            # window may hold the same triangle binned for a neighboring
+            # tile — require coverage (includes the active mask) so
+            # exactly one row matches
             eq = ((tid == idmin) & covered).astype(jnp.float32)
             d0 = l0 * iw0
             d1 = l1 * iw1
             d2 = l2 * iw2
             rD = 1.0 / jnp.where(jnp.abs(d0 + d1 + d2) > 1e-12,
                                  d0 + d1 + d2, 1.0)
-            u_rows.append(jnp.sum(eq * d0 * rD, axis=0, keepdims=True))
-            v_rows.append(jnp.sum(eq * d1 * rD, axis=0, keepdims=True))
+            up = d0 * rD
+            vp = d1 * rD
+            u_rows.append(jnp.sum(eq * up, axis=0, keepdims=True))
+            v_rows.append(jnp.sum(eq * vp, axis=0, keepdims=True))
+            # texc = u*c0 + v*c1 + (1-u-v)*c2
+            tu = up * (cu0 - cu2) + vp * (cu1 - cu2) + cu2
+            tv = up * (cv0 - cv2) + vp * (cv1 - cv2) + cv2
+            tu_rows.append(jnp.sum(eq * tu, axis=0, keepdims=True))
+            tv_rows.append(jnp.sum(eq * tv, axis=0, keepdims=True))
             z_rows.append(zmin)
             id_rows.append(idmin)
 
         z_new = jnp.concatenate(z_rows, axis=0)
-        id_new = jnp.concatenate(id_rows, axis=0)
-        u_new = jnp.concatenate(u_rows, axis=0)
-        v_new = jnp.concatenate(v_rows, axis=0)
         better = z_new < zb
         zb = jnp.where(better, z_new, zb)
-        ib = jnp.where(better, id_new, ib)
-        ub = jnp.where(better, u_new, ub)
-        vb = jnp.where(better, v_new, vb)
-        return zb, ib, ub, vb
+        ib = jnp.where(better, jnp.concatenate(id_rows, axis=0), ib)
+        ub = jnp.where(better, jnp.concatenate(u_rows, axis=0), ub)
+        vb = jnp.where(better, jnp.concatenate(v_rows, axis=0), vb)
+        tub = jnp.where(better, jnp.concatenate(tu_rows, axis=0), tub)
+        tvb = jnp.where(better, jnp.concatenate(tv_rows, axis=0), tvb)
+        return zb, ib, ub, vb, tub, tvb
 
     first_chunk = start // CHUNK
     n_chunks = jnp.where(count > 0,
@@ -481,62 +523,75 @@ def _fused_kernel(gx: int,
         dma = pltpu.make_async_copy(
             sorted_data_hbm.at[:, pl.ds(col0, CHUNK)], chunk_vmem, dma_sem)
         dma.start()
+        adma = pltpu.make_async_copy(
+            sorted_aux_hbm.at[:, pl.ds(col0, CHUNK)], aux_vmem, aux_sem)
+        adma.start()
         dma.wait()
-        return process_chunk(chunk_vmem, col0, start, end, carry)
+        adma.wait()
+        return process_chunk(chunk_vmem, aux_vmem, col0, start, end, carry)
 
-    carry = jax.lax.fori_loop(0, n_chunks, chunk_body,
-                              (zbuf0, idbuf0, ubuf0, vbuf0))
+    carry = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        (zbuf0, idbuf0, zero_img, zero_img, zero_img, zero_img))
 
     @pl.when(n_global > 0)
     def _():
         dma = pltpu.make_async_copy(global_data_hbm, global_vmem, global_sem)
         dma.start()
+        adma = pltpu.make_async_copy(global_aux_hbm, gaux_vmem, gaux_sem)
+        adma.start()
         dma.wait()
+        adma.wait()
 
     def global_body(ci, carry):
         gblock = global_vmem.at[:, pl.ds(ci * CHUNK, CHUNK)]
-        return process_chunk(gblock, ci * CHUNK, 0, n_global, carry)
+        gaux = gaux_vmem.at[:, pl.ds(ci * CHUNK, CHUNK)]
+        return process_chunk(gblock, gaux, ci * CHUNK, 0, n_global, carry)
 
     n_gchunks = (n_global + CHUNK - 1) // CHUNK
-    zbuf, idbuf, ubuf, vbuf = jax.lax.fori_loop(0, n_gchunks, global_body,
-                                                carry)
+    zbuf, idbuf, ubuf, vbuf, tubuf, tvbuf = jax.lax.fori_loop(
+        0, n_gchunks, global_body, carry)
 
     hit = zbuf < BIG
     id_out_ref[:] = jnp.where(hit, idbuf, -1.0).astype(jnp.int32)
     u_out_ref[:] = jnp.where(hit, ubuf, 0.0)
     v_out_ref[:] = jnp.where(hit, vbuf, 0.0)
     z_out_ref[:] = jnp.where(hit, zbuf, 0.0)
+    tu_out_ref[:] = jnp.where(hit, tubuf, 0.0)
+    tv_out_ref[:] = jnp.where(hit, tvbuf, 0.0)
 
 
 def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
                               interpret: bool = False):
-    """(idbuf, u, v, z) from precomputed bins — one kernel pass, no
-    per-pixel gathers. Values match pixel_eval_fused's formulation."""
+    """(idbuf, u, v, z, tu, tv) from precomputed bins — one kernel pass,
+    no per-pixel gathers. (tu, tv) interpolate the aux uv-corner rows."""
     ph, pw = pad_resolution(height, width)
     gy, gx = ph // TILE_H, pw // TILE_W
 
+    img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(gy, gx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
-        ],
+        out_specs=[img(), img(), img(), img(), img(), img()],
         scratch_shapes=[
             pltpu.VMEM((16, CHUNK), jnp.float32),
+            pltpu.VMEM((8, CHUNK), jnp.float32),
             pltpu.VMEM((16, MAX_GLOBAL), jnp.float32),
+            pltpu.VMEM((8, MAX_GLOBAL), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
 
-    idbuf, u, v, z = pl.pallas_call(
+    idbuf, u, v, z, tu, tv = pl.pallas_call(
         functools.partial(_fused_kernel, gx),
         grid_spec=grid_spec,
         out_shape=[
@@ -544,9 +599,13 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
             jax.ShapeDtypeStruct((ph, pw), jnp.float32),
             jax.ShapeDtypeStruct((ph, pw), jnp.float32),
             jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
         ],
         interpret=interpret,
-    )(bins.bin_start, bins.n_global, bins.sorted_data_t, bins.global_data_t)
+    )(bins.bin_start, bins.n_global, bins.sorted_data_t, bins.global_data_t,
+      bins.sorted_aux_t, bins.global_aux_t)
 
     return (idbuf[:height, :width], u[:height, :width],
-            v[:height, :width], z[:height, :width])
+            v[:height, :width], z[:height, :width],
+            tu[:height, :width], tv[:height, :width])

@@ -59,27 +59,24 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
     :return: (H, W, C) image in [0, 1], row 0 = bottom (GL convention).
     """
     pos_clip = transform_clip(mvp, pos)
-    # db (bary screen derivatives) is only consumed by mip filtering
-    if enable_mip:
-        rast, rast_db = rasterize(pos_clip, pos_idx, resolution, impl=impl,
-                                  with_db=True)
-    else:
-        rast = rasterize(pos_clip, pos_idx, resolution, impl=impl,
-                         with_db=False)
-        rast_db = None
-
     resolved_impl = impl
     if resolved_impl == "auto":
         resolved_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     if enable_mip:
+        # db (bary screen derivatives) is only consumed by mip filtering
+        rast, rast_db = rasterize(pos_clip, pos_idx, resolution, impl=impl,
+                                  with_db=True)
         texc, texd = interpolate(uv, rast, uv_idx, rast_db=rast_db,
                                  diff_attrs="all")
         colour = texture(tex, texc, uv_da=texd,
                          filter_mode="linear-mipmap-linear",
                          max_mip_level=max_mip_level)
     else:
-        texc, _ = interpolate(uv, rast, uv_idx)
+        from fpc_diffrend_tpu.ops.rasterize import rasterize_with_uv
+
+        rast, texc = rasterize_with_uv(pos_clip, pos_idx, uv, uv_idx,
+                                       resolution, impl=impl)
         if resolved_impl == "pallas" and tex.shape[-1] == 1:
             # tile-patch matmul sampler (no gathers); clamp boundary —
             # identical to wrap for uv inside [0,1) away from the border

@@ -340,8 +340,8 @@ def _pixel_eval_bwd(height, width, interpret, res, cts):
 
     idbuf, bins, n_tris = res
     gu, gv, gz, _gmask = cts
-    grad_data = pixel_grad_pallas(bins, idbuf, gu, gv, gz, n_tris,
-                                  height, width, interpret=interpret)
+    grad_data, _ = pixel_grad_pallas(bins, idbuf, gu, gv, gz, n_tris,
+                                     height, width, interpret=interpret)
     return (grad_data, _zero_ct(idbuf),
             jax.tree.map(_zero_ct, bins))
 
@@ -349,22 +349,24 @@ def _pixel_eval_bwd(height, width, interpret, res, cts):
 pixel_eval_fused.defvjp(_pixel_eval_fwd, _pixel_eval_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def rasterize_fused(data, bins, height: int, width: int, interpret: bool):
-    """Fully fused rasterization: one Pallas pass yields (idbuf, u, v, z,
-    mask) with no per-pixel gathers; the backward is the Pallas gradient
-    kernel (pixel_grad_pallas). ``data`` is the differentiable input; the
-    primal only reads it through the (stop-gradient) bins."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def rasterize_fused(data, uvrec, bins, height: int, width: int,
+                    interpret: bool):
+    """Fully fused rasterization + uv interpolation: one Pallas pass
+    yields (idbuf, u, v, z, mask, tu, tv) with no per-pixel gathers; the
+    backward is the Pallas gradient kernel. ``data`` (triangle records)
+    and ``uvrec`` (uv corner records) are the differentiable inputs; the
+    primal only reads them through the (stop-gradient) bins."""
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
         fused_rasterize_from_bins)
 
-    idbuf, u, v, z = fused_rasterize_from_bins(bins, height, width,
-                                               interpret)
-    return idbuf, u, v, z, idbuf >= 0
+    idbuf, u, v, z, tu, tv = fused_rasterize_from_bins(bins, height, width,
+                                                       interpret)
+    return idbuf, u, v, z, idbuf >= 0, tu, tv
 
 
-def _rasterize_fused_fwd(data, bins, height, width, interpret):
-    out = rasterize_fused(data, bins, height, width, interpret)
+def _rasterize_fused_fwd(data, uvrec, bins, height, width, interpret):
+    out = rasterize_fused(data, uvrec, bins, height, width, interpret)
     return out, (out[0], bins, data.shape[0])
 
 
@@ -372,10 +374,11 @@ def _rasterize_fused_bwd(height, width, interpret, res, cts):
     from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
 
     idbuf, bins, n_tris = res
-    _gid, gu, gv, gz, _gmask = cts
-    grad_data = pixel_grad_pallas(bins, idbuf, gu, gv, gz, n_tris,
-                                  height, width, interpret=interpret)
-    return (grad_data, jax.tree.map(_zero_ct, bins))
+    _gid, gu, gv, gz, _gmask, gtu, gtv = cts
+    grad_data, grad_aux = pixel_grad_pallas(
+        bins, idbuf, gu, gv, gz, n_tris, height, width, gtu=gtu, gtv=gtv,
+        interpret=interpret)
+    return (grad_data, grad_aux, jax.tree.map(_zero_ct, bins))
 
 
 rasterize_fused.defvjp(_rasterize_fused_fwd, _rasterize_fused_bwd)
@@ -417,8 +420,9 @@ def rasterize(pos_clip: Array, faces: Array, resolution: Tuple[int, int],
 
         data, bins = bin_scene(pos_clip, faces, height, width)
         bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
-        idbuf, u, v, z, mask = rasterize_fused(data, bins_sg,
-                                               height, width, interpret)
+        uvrec0 = jnp.zeros((faces.shape[0], 8), jnp.float32)
+        idbuf, u, v, z, mask, _tu, _tv = rasterize_fused(
+            data, uvrec0, bins_sg, height, width, interpret)
         db = (_pixel_db_from_data(data, idbuf, height, width)
               if with_db else None)
     elif impl == "scan":
@@ -439,3 +443,45 @@ def rasterize(pos_clip: Array, faces: Array, resolution: Tuple[int, int],
     if with_db:
         return rast, db
     return rast
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "impl",
+                                             "interpret"))
+def rasterize_with_uv(pos_clip: Array, faces: Array, uv: Array,
+                      uv_idx: Array, resolution: Tuple[int, int],
+                      impl: str = "auto", interpret: bool = False):
+    """Rasterize + interpolate uv coordinates in one fused pass.
+
+    The production path of the render pipeline: on the Pallas
+    implementation the winning triangle's perspective-correct uv is
+    resolved inside the visibility kernel (no per-pixel gathers in either
+    direction); on the scan fallback it composes rasterize + interpolate.
+
+    :return: (rast (H, W, 4), texc (H, W, 2))
+    """
+    height, width = resolution
+    faces = faces.astype(jnp.int32)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    if impl == "pallas":
+        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+            bin_scene, uv_records)
+
+        uvrec = uv_records(uv, uv_idx.astype(jnp.int32))
+        data, bins = bin_scene(pos_clip, faces, height, width,
+                               aux=jax.lax.stop_gradient(uvrec))
+        bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
+        idbuf, u, v, z, mask, tu, tv = rasterize_fused(
+            data, uvrec, bins_sg, height, width, interpret)
+        idf = jnp.where(mask, (idbuf + 1).astype(jnp.float32), 0.0)
+        rast = jnp.stack([u, v, z, idf], axis=-1)
+        texc = jnp.stack([tu, tv], axis=-1)
+        return rast, texc
+
+    from fpc_diffrend_tpu.ops.interpolate import interpolate
+
+    rast = rasterize(pos_clip, faces, resolution, impl=impl, with_db=False,
+                     interpret=interpret)
+    texc, _ = interpolate(uv, rast, uv_idx.astype(jnp.int32))
+    return rast, texc

@@ -49,18 +49,30 @@ def render_band(mvp: Array, pos: Array, pos_idx: Array, uv: Array,
     band_mvp = band_window_matrix(band, n_bands) @ mvp
     pos_clip = transform_clip(mvp, pos)          # full-frame clip (for AA)
     band_clip = transform_clip(band_mvp, pos)
-    rast, rast_db = rasterize(band_clip, pos_idx, tuple(band_resolution),
-                              impl=impl, with_db=True)
+
+    resolved_impl = impl
+    if resolved_impl == "auto":
+        resolved_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     if enable_mip:
+        rast, rast_db = rasterize(band_clip, pos_idx, tuple(band_resolution),
+                                  impl=impl, with_db=True)
         texc, texd = interpolate(uv, rast, uv_idx, rast_db=rast_db,
                                  diff_attrs="all")
         colour = texture(tex, texc, uv_da=texd,
                          filter_mode="linear-mipmap-linear",
                          max_mip_level=max_mip_level)
     else:
+        rast = rasterize(band_clip, pos_idx, tuple(band_resolution),
+                         impl=impl, with_db=False)
         texc, _ = interpolate(uv, rast, uv_idx)
-        colour = texture(tex, texc, filter_mode="linear")
+        if resolved_impl == "pallas" and tex.shape[-1] == 1:
+            from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+                texture_bilinear_pallas)
+
+            colour = texture_bilinear_pallas(tex, texc, False)
+        else:
+            colour = texture(tex, texc, filter_mode="linear")
 
     # Intra-band antialias. Band-local screen geometry: the band clip
     # transform keeps pixel scale identical, so band_clip screen verts are

@@ -104,3 +104,41 @@ def test_pallas_gradient_oversized_triangle(rng):
     # the big triangle's vertices must receive matching gradients
     np.testing.assert_allclose(np.asarray(g_pallas)[:3],
                                np.asarray(g_scan)[:3], rtol=5e-3, atol=5e-3)
+
+
+def test_fused_uv_interpolation_matches_composed(rng):
+    """rasterize_with_uv (fused) == rasterize + interpolate, values+grads."""
+    from fpc_diffrend_tpu.ops.interpolate import interpolate
+
+    pos, faces = random_scene(rng, n_tris=20)
+    uv = jnp.asarray(rng.uniform(size=(60, 2)).astype(np.float32))
+    uv_idx = faces
+    res = (64, 64)
+
+    rast_c = r.rasterize(pos, faces, res, impl="scan", with_db=False)
+    texc_c, _ = interpolate(uv, rast_c, uv_idx)
+    rast_f, texc_f = r.rasterize_with_uv(pos, faces, uv, uv_idx, res,
+                                         impl="pallas", interpret=True)
+    agree = np.asarray(rast_c[..., 3]) == np.asarray(rast_f[..., 3])
+    assert agree.mean() > 0.998
+    np.testing.assert_allclose(np.asarray(texc_f)[agree],
+                               np.asarray(texc_c)[agree], atol=2e-4)
+
+    gimg = jnp.asarray(rng.normal(size=res + (2,)).astype(np.float32))
+
+    def loss_c(p, u):
+        rast = r.rasterize(p, faces, res, impl="scan", with_db=False)
+        texc, _ = interpolate(u, rast, uv_idx)
+        return jnp.sum(texc * gimg)
+
+    def loss_f(p, u):
+        _, texc = r.rasterize_with_uv(p, faces, u, uv_idx, res,
+                                      impl="pallas", interpret=True)
+        return jnp.sum(texc * gimg)
+
+    gp_c, gu_c = jax.grad(loss_c, argnums=(0, 1))(pos, uv)
+    gp_f, gu_f = jax.grad(loss_f, argnums=(0, 1))(pos, uv)
+    np.testing.assert_allclose(np.asarray(gu_f), np.asarray(gu_c),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_c),
+                               rtol=3e-3, atol=3e-3)
