@@ -40,7 +40,7 @@ Array = jnp.ndarray
 
 TILE_H = 8                # tile height in pixels (VPU sublanes)
 TILE_W = 128              # tile width in pixels (VPU lanes)
-WINDOW_Y = 8              # binning window in tiles (64 px tall)
+WINDOW_Y = 4              # binning window in tiles (32 px tall)
 WINDOW_X = 2              # binning window in tiles (256 px wide)
 CHUNK = 128               # triangles DMA'd per bin chunk
 MAX_GLOBAL = 1024         # cap for oversized-triangle global list
