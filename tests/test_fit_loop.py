@@ -7,6 +7,7 @@ translations toward the truth.
 """
 
 import dataclasses
+import jax
 
 import numpy as np
 import jax.numpy as jnp
@@ -119,3 +120,62 @@ def test_train_step_produces_finite_grads(config, scene):
     assert float(metrics["pix"]) < 10.0
     for k, v in new_state.params.items():
         assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"
+
+
+def test_combined_mode_staging(scene):
+    """Combined mode: correctives frozen before max_iter/2, training after."""
+    config = FitConfig(
+        max_iter=10, lr_base=1e-3, lr_t=1e-3, lr_q=1e-5,
+        resolution=RES, texshape=(16, 16, 1), mode="combined",
+        cam_idxs=tuple(range(N_CAMS)), batch_size=2, raster_impl="scan",
+        log_interval=0)
+    # combined mode needs real blendshape deltas for prior-path gradients
+    rng = np.random.default_rng(0)
+    deltas = (rng.normal(size=(scene.v_base.shape[0], 2)) * 0.05
+              ).astype(np.float32)
+    scene = scene._replace(deltas=jnp.asarray(deltas))
+    # textured surface so photometric gradients reach the geometry
+    yy, xx = np.meshgrid(np.linspace(-1, 1, 16), np.linspace(-1, 1, 16),
+                         indexing="ij")
+    tex = (0.25 + 0.7 * np.exp(-(xx ** 2 + yy ** 2) / 0.35)
+           ).astype(np.float32)[..., None]
+    params = state_mod.init_params(config, N_FRAMES, scene.v_base.shape[0],
+                                   scene.deltas.shape[1], tex, N_CAMS)
+    state = state_mod.init_state(config, params)
+    frames = jnp.asarray(np.full((N_CAMS, N_FRAMES) + RES, 100, np.uint8))
+    batch = fit_loop.Batch(
+        cam_idx=jnp.asarray([0, 1], jnp.int32),
+        frame_idx=jnp.asarray([0, 1], jnp.int32),
+        ref=fit_loop.decode_refs(frames, jnp.asarray([0, 1]),
+                                 jnp.asarray([0, 1])))
+    m3_before = np.asarray(state.params["m3"]).copy()
+    state, _ = fit_loop.train_step(config, scene, state, batch)
+    # step 0 <= max_iter/2: correctives gated off
+    np.testing.assert_array_equal(np.asarray(state.params["m3"]), m3_before)
+    # rig prior params DO move
+    assert np.abs(np.asarray(state.params["maps"])).max() > 0
+
+    state = state._replace(step=jnp.asarray(8, jnp.int32))
+    state, _ = fit_loop.train_step(config, scene, state, batch)
+    assert np.abs(np.asarray(state.params["m3"]) - m3_before).max() > 0
+
+
+def test_mip_pipeline_end_to_end(config, scene):
+    """enable_mip path renders + differentiates through the mip chain."""
+    import dataclasses
+
+    mip_config = dataclasses.replace(config, enable_mip=True, max_mip_level=3)
+    gt_params, _ = make_gt_params(mip_config, scene)
+    img, _ = fit_loop.render_sample(mip_config, scene, gt_params,
+                                    jnp.int32(0), jnp.int32(0))
+    assert np.isfinite(np.asarray(img)).all()
+
+    def loss(tex):
+        p = {**gt_params, "tex": tex}
+        im, _ = fit_loop.render_sample(mip_config, scene, p,
+                                       jnp.int32(0), jnp.int32(0))
+        return jnp.mean(im)
+
+    g = jax.grad(loss)(gt_params["tex"])
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

@@ -172,3 +172,27 @@ def test_undistort_identity():
     intr = np.array([[8.0, 0, 4.0], [0, 8.0, 4.0], [0, 0, 1]], np.float32)
     out = np.asarray(undistort_image_jax(img, intr, np.zeros(5)))
     np.testing.assert_allclose(out, img, atol=1e-4)
+
+
+def test_progress_video_png_fallback(tmp_path, rng, monkeypatch):
+    """ProgressVideo writes PNG frames when no mp4 encoder is available."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_imageio(name, *a, **k):
+        if name == "imageio":
+            raise ImportError("gated for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_imageio)
+    from fpc_diffrend_tpu.utils.video import ProgressVideo
+
+    v = ProgressVideo(str(tmp_path))
+    ref = rng.uniform(size=(8, 8, 1)).astype(np.float32)
+    ren = rng.uniform(size=(8, 8, 1)).astype(np.float32)
+    v.append(ref, ren)
+    v.append(ref, ren)
+    v.close()
+    assert (tmp_path / "progress_00000.png").exists()
+    assert (tmp_path / "progress_00001.png").exists()
