@@ -85,11 +85,17 @@ def loss_fn(params: dict, config: FitConfig, scene: Scene, batch: Batch,
     )(batch.cam_idx, batch.frame_idx)
 
     pix = jax.vmap(losses_mod.photometric_loss)(batch.ref, imgs).mean()
+    # zero-weight regularizers are skipped structurally (config is static):
+    # saves their compute and avoids 0 * term keeping dead gradient paths
     mel, lap, mnc = jax.vmap(
         lambda v: losses_mod.mesh_regularizers(config, scene, v))(verts3)
-    reg = (config.weight_meshedge * mel.mean()
-           + config.weight_laplacian * (lap ** 2).mean()
-           + config.weight_normalconsistency * mnc.mean())
+    reg = jnp.float32(0.0)
+    if config.weight_meshedge:
+        reg = reg + config.weight_meshedge * mel.mean()
+    if config.weight_laplacian:
+        reg = reg + config.weight_laplacian * (lap ** 2).mean()
+    if config.weight_normalconsistency:
+        reg = reg + config.weight_normalconsistency * mnc.mean()
     extra = losses_mod.staging_regularizers(config, params, batch.frame_idx,
                                             step)
     extra = extra + losses_mod.temporal_smoothness(config, params,

@@ -21,9 +21,13 @@ Array = jnp.ndarray
 
 
 def edge_lengths(verts3: Array, edges: Array) -> Array:
-    """(E,) edge lengths for (V, 3) verts and (E, 2) edge indices."""
+    """(E,) edge lengths for (V, 3) verts and (E, 2) edge indices.
+
+    Epsilon inside the sqrt: zero-length edges (duplicated vertices, e.g.
+    closed-mesh pole caps) must not produce NaN gradients.
+    """
     d = verts3[edges[:, 0]] - verts3[edges[:, 1]]
-    return jnp.linalg.norm(d, axis=-1)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
 
 
 def mesh_edge_loss(verts3: Array, edges: Array, target_length: float = 0.0) -> Array:
@@ -70,7 +74,7 @@ def face_normals(verts3: Array, faces: Array, normalized: bool = True) -> Array:
     v2 = verts3[faces[:, 2]]
     n = jnp.cross(v1 - v0, v2 - v0)
     if normalized:
-        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+        n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
     return n
 
 
@@ -86,7 +90,9 @@ def mesh_normal_consistency(verts3: Array, faces: Array,
     n = face_normals(verts3, faces, normalized=False)
     na = n[edge_face_pairs[:, 0]]
     nb = n[edge_face_pairs[:, 1]]
-    cos = jnp.sum(na * nb, axis=-1) / (
-        jnp.linalg.norm(na, axis=-1) * jnp.linalg.norm(nb, axis=-1) + 1e-12
-    )
+    # epsilon inside each sqrt: degenerate faces (zero-area pole caps)
+    # must not produce NaN gradients through the norm at zero
+    norm_a = jnp.sqrt(jnp.sum(na * na, axis=-1) + 1e-12)
+    norm_b = jnp.sqrt(jnp.sum(nb * nb, axis=-1) + 1e-12)
+    cos = jnp.sum(na * nb, axis=-1) / (norm_a * norm_b)
     return jnp.mean(1.0 - cos)

@@ -134,7 +134,9 @@ def visibility_scan(pos_clip: Array, faces: Array, height: int, width: int,
             area = _edge_fn(tri[0, 0], tri[0, 1], tri[1, 0], tri[1, 1],
                             tri[2, 0], tri[2, 1])
             ok = (validc[k] & (jnp.abs(area) > _AREA_EPS) & (idsc[k] >= 0))
-            inv_area = jnp.where(jnp.abs(area) > _AREA_EPS, 1.0 / area, 0.0)
+            inv_area = jnp.where(jnp.abs(area) > _AREA_EPS,
+                         1.0 / jnp.where(jnp.abs(area) > _AREA_EPS,
+                                         area, 1.0), 0.0)
             l0 = e0 * inv_area
             l1 = e1 * inv_area
             l2 = e2 * inv_area
@@ -183,7 +185,9 @@ def pixel_attributes(pos_clip: Array, faces: Array, idbuf: Array,
     cx, cy = tp[..., 2, 0], tp[..., 2, 1]
 
     area = _edge_fn(ax, ay, bx, by, cx, cy)
-    inv_area = jnp.where(jnp.abs(area) > _AREA_EPS, 1.0 / area, 0.0)
+    inv_area = jnp.where(jnp.abs(area) > _AREA_EPS,
+                         1.0 / jnp.where(jnp.abs(area) > _AREA_EPS,
+                                         area, 1.0), 0.0)
     l0 = _edge_fn(bx, by, cx, cy, px, py) * inv_area
     l1 = _edge_fn(cx, cy, ax, ay, px, py) * inv_area
     l2 = _edge_fn(ax, ay, bx, by, px, py) * inv_area
@@ -194,7 +198,9 @@ def pixel_attributes(pos_clip: Array, faces: Array, idbuf: Array,
     d1 = l1 * iw[..., 1]
     d2 = l2 * iw[..., 2]
     denom = d0 + d1 + d2
-    inv_denom = jnp.where(jnp.abs(denom) > _AREA_EPS, 1.0 / denom, 0.0)
+    inv_denom = jnp.where(jnp.abs(denom) > _AREA_EPS,
+                          1.0 / jnp.where(jnp.abs(denom) > _AREA_EPS,
+                                          denom, 1.0), 0.0)
     u = d0 * inv_denom
     v = d1 * inv_denom
 
@@ -262,7 +268,9 @@ def _pixel_eval_from_data(data: Array, idbuf: Array, height: int, width: int):
     d1 = l1 / jnp.where(jnp.abs(w1) > _W_EPS, w1, 1.0)
     d2 = l2 / jnp.where(jnp.abs(w2) > _W_EPS, w2, 1.0)
     denom = d0 + d1 + d2
-    inv_denom = jnp.where(jnp.abs(denom) > _AREA_EPS, 1.0 / denom, 0.0)
+    inv_denom = jnp.where(jnp.abs(denom) > _AREA_EPS,
+                          1.0 / jnp.where(jnp.abs(denom) > _AREA_EPS,
+                                          denom, 1.0), 0.0)
     u = jnp.where(mask, d0 * inv_denom, 0.0)
     v = jnp.where(mask, d1 * inv_denom, 0.0)
     z = jnp.where(mask, z, 0.0)
@@ -292,7 +300,9 @@ def _pixel_db_from_data(data: Array, idbuf: Array, height: int, width: int):
     iw2 = 1.0 / jnp.where(jnp.abs(w2) > _W_EPS, w2, 1.0)
     d0, d1, d2 = l0 * iw0, l1 * iw1, l2 * iw2
     denom = d0 + d1 + d2
-    inv_denom = jnp.where(jnp.abs(denom) > _AREA_EPS, 1.0 / denom, 0.0)
+    inv_denom = jnp.where(jnp.abs(denom) > _AREA_EPS,
+                          1.0 / jnp.where(jnp.abs(denom) > _AREA_EPS,
+                                          denom, 1.0), 0.0)
     u = d0 * inv_denom
     v = d1 * inv_denom
     dd0_dx = rec[..., 0] * iw0
