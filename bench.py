@@ -1,22 +1,24 @@
-"""Headline benchmark: Mpixels/s/chip, forward+backward differentiable render.
+"""Headline benchmark: the full fit step at the reference workload.
 
-Times the full differentiable pipeline — rasterize (Pallas visibility +
-bary recompute), interpolate, texture, antialias, photometric loss — and
-its backward pass (gradients w.r.t. vertex positions and texture) on a
-face-like scene (many small triangles over most of the frame), the shape
-of the reference workload (SURVEY.md §6: 1600x1200, ~tens of k triangles).
+Times the complete jitted training step — blend -> pose -> fused
+rasterize+interpolate (Pallas) -> texture (Pallas) -> antialias ->
+photometric + regularizer losses -> backward (Pallas gradient kernels) ->
+multi-group Adam — on a face-like connected mesh at the reference
+resolution (1600x1200, ~30k triangles, 1024^2 texture), batched over
+(camera, frame) samples.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <Mpix/s/chip fwd+bwd>, "unit": "Mpix/s",
    "vs_baseline": <value / BASELINE_MPIX_S>}
 
 BASELINE_MPIX_S is a documented proxy for nvdiffrast-on-A100 fwd+bwd
-throughput on a comparable scene (~500 Mpix/s, from nvdiffrast's published
-per-frame millisecond timings at 1-2 Mpix with gradients; the reference
-repo itself publishes no numbers, BASELINE.md).
+throughput on a comparable scene (~500 Mpix/s from its published
+per-frame millisecond timings; the reference repo publishes no numbers —
+BASELINE.md).
 
-Env knobs: FPC_BENCH_RES (default 512), FPC_BENCH_TRIS (default 10000),
-FPC_BENCH_ITERS (default 20), FPC_BENCH_IMPL (default auto).
+Env knobs: FPC_BENCH_RES_H/W (1600/1200), FPC_BENCH_GRID (123 -> ~30k
+tris), FPC_BENCH_BATCH (4), FPC_BENCH_ITERS (10), FPC_BENCH_CPU=1 to
+force CPU (functional check only).
 """
 
 import json
@@ -33,78 +35,94 @@ def main():
     import jax
     if os.environ.get("FPC_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
     import numpy as np
+    import jax.numpy as jnp
 
     from fpc_diffrend_tpu.data import obj as objlib
-    from fpc_diffrend_tpu.ops.pipeline import render
+    from fpc_diffrend_tpu.fit import loop as fit_loop
+    from fpc_diffrend_tpu.fit import state as state_mod
+    from fpc_diffrend_tpu.fit.config import FitConfig
+    from fpc_diffrend_tpu.fit.scene import build_scene
+    from fpc_diffrend_tpu.models import camera
 
-    res = int(os.environ.get("FPC_BENCH_RES", "512"))
-    n_tris = int(os.environ.get("FPC_BENCH_TRIS", "10000"))
-    iters = int(os.environ.get("FPC_BENCH_ITERS", "20"))
+    H = int(os.environ.get("FPC_BENCH_RES_H", "1600"))
+    W = int(os.environ.get("FPC_BENCH_RES_W", "1200"))
+    g = int(os.environ.get("FPC_BENCH_GRID", "123"))
+    B = int(os.environ.get("FPC_BENCH_BATCH", "4"))
+    iters = int(os.environ.get("FPC_BENCH_ITERS", "10"))
     impl = os.environ.get("FPC_BENCH_IMPL", "auto")
+    texn = int(os.environ.get("FPC_BENCH_TEX", "1024"))
 
     rng = np.random.default_rng(0)
 
-    # face-like scene: a connected deformed-grid dome (coherent triangle
-    # ids, one real silhouette) covering most of the frame — the shape of
-    # the capture workload, unlike random triangle soup.
-    g = max(2, int(np.sqrt(n_tris / 2)) + 1)
-    lin = np.linspace(-0.85, 0.85, g, dtype=np.float32)
+    # face-like scene: connected deformed-grid dome (coherent triangle ids,
+    # one real silhouette) seen by narrow-FOV rig-style cameras
+    lin = np.linspace(-10, 10, g, dtype=np.float32)
     gy, gx = np.meshgrid(lin, lin, indexing="ij")
     r2 = gx ** 2 + gy ** 2
-    gz = (-0.3 * np.exp(-r2 * 2)
-          + 0.02 * rng.normal(size=gx.shape)).astype(np.float32)
+    gz = (-6 * np.exp(-r2 / 60)
+          + 0.1 * rng.normal(size=gx.shape)).astype(np.float32)
     verts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
     idx = np.arange(g * g).reshape(g, g)
     quads = np.stack([idx[:-1, :-1], idx[:-1, 1:], idx[1:, :-1], idx[1:, 1:]],
                      axis=-1).reshape(-1, 4)
     faces = np.concatenate([quads[:, [0, 1, 3]], quads[:, [0, 3, 2]]],
                            axis=0).astype(np.int32)
-    n_tris = faces.shape[0]
-    uv = ((verts[:, :2] / 0.85) * 0.5 + 0.5).astype(np.float32)
-    topo = objlib.build_topology(faces, verts.shape[0])
-    tex = rng.uniform(size=(1024, 1024, 1)).astype(np.float32)
-    ref = rng.uniform(size=(res, res, 1)).astype(np.float32) * 255.0
+    uv = ((verts[:, :2] / 10) * 0.5 + 0.5).astype(np.float32)
+    mesh = objlib.MeshData(vertices=verts.reshape(-1), uv=uv, faces=faces,
+                           fuv=faces)
 
-    faces_j = jnp.asarray(faces)
-    uv_j = jnp.asarray(uv)
-    tex_j = jnp.asarray(tex)
-    ref_j = jnp.asarray(ref)
-    fn_j = jnp.asarray(topo.face_neighbors)
-    mvp = jnp.eye(4)
-    aa_pairs = 8 * (res + res)
+    n_cams, n_frames = 3, 4
+    intr = np.array([[7000.0, 0, 600.0], [0, 7000.0, 800.0], [0, 0, 1]],
+                    np.float32)
+    projs, mvs = [], []
+    for c in range(n_cams):
+        R = np.asarray(camera.rotate_y(0.3 * (c - 1)))[:3, :3]
+        t = np.array([[0.0], [0.0], [100.0]], np.float32)
+        projs.append(np.asarray(camera.intrinsic_to_projection(intr)))
+        mvs.append(np.asarray(camera.extrinsic_to_modelview(R, t)))
+    scene = build_scene(mesh, np.stack(projs), np.stack(mvs))
 
-    def loss(pos3, tex):
-        img = render(mvp, pos3, faces_j, uv_j, faces_j, tex, (res, res),
-                     fn_j, impl=impl, aa_max_pairs=aa_pairs)
-        return jnp.mean((ref_j - img * 255.0) ** 2)
+    config = FitConfig(max_iter=1000, resolution=(H, W),
+                       texshape=(texn, texn, 1), mode="free",
+                       cam_idxs=tuple(range(n_cams)), batch_size=B,
+                       raster_impl=impl, weight_laplacian=1.0,
+                       log_interval=0)
+    tex = rng.uniform(size=(texn, texn, 1)).astype(np.float32)
+    params = state_mod.init_params(config, n_frames, scene.v_base.shape[0],
+                                   scene.deltas.shape[1], tex,
+                                   scene.n_cameras)
+    state = state_mod.init_state(config, params)
+    frames_u8 = jnp.asarray(
+        rng.integers(0, 140, size=(n_cams, n_frames, H, W)).astype(np.uint8))
 
-    pos3 = jnp.asarray(verts)
-
-    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    cam = jnp.asarray(rng.integers(0, n_cams, B).astype(np.int32))
+    fr = jnp.asarray(rng.integers(0, n_frames, B).astype(np.int32))
+    batch = fit_loop.Batch(cam, fr, fit_loop.decode_refs(frames_u8, cam, fr))
 
     t0 = time.time()
-    out = vg(pos3, tex_j)
-    sync = float(out[0])
+    state, met = fit_loop.train_step(config, scene, state, batch)
+    _ = float(met["loss"])
     compile_s = time.time() - t0
 
     t0 = time.time()
     for _ in range(iters):
-        out = vg(pos3, tex_j)
-    _ = float(out[0])  # scalar fetch forces completion
+        state, met = fit_loop.train_step(config, scene, state, batch)
+    _ = float(met["loss"])
     dt = (time.time() - t0) / iters
 
-    mpix = res * res / dt / 1e6
+    mpix = B * H * W / dt / 1e6
+    fv_hour = 3600.0 / (H * W / (mpix * 1e6))
     result = {
-        "metric": "Mpixels/s/chip fwd+bwd differentiable render "
-                  f"({n_tris} tris, {res}x{res}, impl={impl})",
+        "metric": "Mpixels/s/chip fwd+bwd fit step "
+                  f"({faces.shape[0]} tris, {H}x{W}, batch {B}, "
+                  f"~{fv_hour:.0f} frame-views/hour)",
         "value": round(mpix, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix / BASELINE_MPIX_S, 3),
     }
     print(json.dumps(result))
-    print(f"# step={dt*1e3:.2f}ms compile={compile_s:.0f}s "
+    print(f"# step={dt*1e3:.1f}ms compile={compile_s:.0f}s "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
 
