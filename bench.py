@@ -48,7 +48,7 @@ def main():
     H = int(os.environ.get("FPC_BENCH_RES_H", "1600"))
     W = int(os.environ.get("FPC_BENCH_RES_W", "1200"))
     g = int(os.environ.get("FPC_BENCH_GRID", "123"))
-    B = int(os.environ.get("FPC_BENCH_BATCH", "4"))
+    B = int(os.environ.get("FPC_BENCH_BATCH", "8"))
     iters = int(os.environ.get("FPC_BENCH_ITERS", "10"))
     impl = os.environ.get("FPC_BENCH_IMPL", "auto")
     texn = int(os.environ.get("FPC_BENCH_TEX", "1024"))

@@ -401,6 +401,34 @@ def visibility_from_bins(bins: "Bins", height: int, width: int,
     return idbuf[:height, :width]
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def raster_stats(pos_clip: Array, faces: Array, height: int, width: int):
+    """Binning health counters (no-silent-caps check, jit-safe).
+
+    :return: dict with n_valid_pairs (bin entries), n_global (oversized
+        triangles in the global list), global_overflow (oversized
+        triangles DROPPED past MAX_GLOBAL — must be 0 for a correct
+        render), pair_cap_suggestion (min pair_cap preserving all
+        gradients in the backward reduction).
+    """
+    ph, pw = pad_resolution(height, width)
+    data, tile_bbox, valid = triangle_setup(pos_clip, faces.astype(jnp.int32),
+                                            height, width)
+    tx0, ty0, tx1, ty1 = (tile_bbox[:, 0], tile_bbox[:, 1],
+                          tile_bbox[:, 2], tile_bbox[:, 3])
+    wx = tx1 - tx0 + 1
+    wy = ty1 - ty0 + 1
+    fits = (wx <= WINDOW_X) & (wy <= WINDOW_Y)
+    n_pairs = jnp.sum(jnp.where(valid & fits, wx * wy, 0))
+    n_big = jnp.sum(valid & ~fits)
+    return {
+        "n_valid_pairs": n_pairs,
+        "n_global": jnp.minimum(n_big, MAX_GLOBAL),
+        "global_overflow": jnp.maximum(n_big - MAX_GLOBAL, 0),
+        "pair_cap_suggestion": n_pairs,
+    }
+
+
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "interpret"))
 def visibility_pallas(pos_clip: Array, faces: Array, height: int, width: int,
@@ -518,17 +546,39 @@ def _fused_kernel(gx: int,
     n_chunks = jnp.where(count > 0,
                          (end - 1) // CHUNK - first_chunk + 1, 0)
 
-    def chunk_body(ci, carry):
+    # Double-buffered bin streaming: prefetch chunk ci+1 while processing
+    # ci (chunk_vmem/aux_vmem have a leading slot dim of 2).
+    def data_dma(slot, ci):
         col0 = (first_chunk + ci) * CHUNK
-        dma = pltpu.make_async_copy(
-            sorted_data_hbm.at[:, pl.ds(col0, CHUNK)], chunk_vmem, dma_sem)
-        dma.start()
-        adma = pltpu.make_async_copy(
-            sorted_aux_hbm.at[:, pl.ds(col0, CHUNK)], aux_vmem, aux_sem)
-        adma.start()
-        dma.wait()
-        adma.wait()
-        return process_chunk(chunk_vmem, aux_vmem, col0, start, end, carry)
+        return pltpu.make_async_copy(
+            sorted_data_hbm.at[:, pl.ds(col0, CHUNK)],
+            chunk_vmem.at[slot], dma_sem.at[slot])
+
+    def aux_dma(slot, ci):
+        col0 = (first_chunk + ci) * CHUNK
+        return pltpu.make_async_copy(
+            sorted_aux_hbm.at[:, pl.ds(col0, CHUNK)],
+            aux_vmem.at[slot], aux_sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        data_dma(0, 0).start()
+        aux_dma(0, 0).start()
+
+    def chunk_body(ci, carry):
+        slot = jax.lax.rem(ci, 2)
+        nxt = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            data_dma(nxt, ci + 1).start()
+            aux_dma(nxt, ci + 1).start()
+
+        data_dma(slot, ci).wait()
+        aux_dma(slot, ci).wait()
+        col0 = (first_chunk + ci) * CHUNK
+        return process_chunk(chunk_vmem.at[slot], aux_vmem.at[slot],
+                             col0, start, end, carry)
 
     carry = jax.lax.fori_loop(
         0, n_chunks, chunk_body,
@@ -580,12 +630,12 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
         ],
         out_specs=[img(), img(), img(), img(), img(), img()],
         scratch_shapes=[
-            pltpu.VMEM((16, CHUNK), jnp.float32),
-            pltpu.VMEM((8, CHUNK), jnp.float32),
+            pltpu.VMEM((2, 16, CHUNK), jnp.float32),   # double-buffered
+            pltpu.VMEM((2, 8, CHUNK), jnp.float32),    # double-buffered
             pltpu.VMEM((16, MAX_GLOBAL), jnp.float32),
             pltpu.VMEM((8, MAX_GLOBAL), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

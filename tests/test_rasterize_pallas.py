@@ -81,3 +81,19 @@ def test_rasterize_public_api_with_pallas_impl(rng):
     u, v, z, mask = r.pixel_attributes(pos, faces, idbuf, 64, 64)
     agree = np.asarray(mask) == (np.asarray(rast_scan[..., 3]) > 0)
     assert agree.mean() > 0.998
+
+
+def test_raster_stats(rng):
+    pos, faces = random_scene(rng, n_tris=20)
+    stats = rp.raster_stats(pos, faces, 64, 64)
+    assert int(stats["global_overflow"]) == 0
+    assert int(stats["n_valid_pairs"]) > 0
+    # a screen-filling triangle lands in the global list
+    import numpy as np
+    big = jnp.asarray(np.array(
+        [[-8, -8, 0, 1], [8, -8, 0, 1], [0, 8, 0, 1]], np.float32))
+    pos2 = jnp.concatenate([big, pos])
+    faces2 = jnp.concatenate(
+        [jnp.asarray(np.array([[0, 1, 2]], np.int32)), faces + 3])
+    stats2 = rp.raster_stats(pos2, faces2, 256, 256)
+    assert int(stats2["n_global"]) >= 1
