@@ -196,3 +196,33 @@ def test_progress_video_png_fallback(tmp_path, rng, monkeypatch):
     v.close()
     assert (tmp_path / "progress_00000.png").exists()
     assert (tmp_path / "progress_00001.png").exists()
+
+
+def test_render_result_roundtrip(small_setup, tmp_path):
+    """Offline re-render of saved results through a calibrated camera."""
+    scene, config, params = small_setup
+    out = str(tmp_path / "run")
+    result_dir = results_mod.save_results(config, scene, params, n_frames=2,
+                                          out_dir=out)
+    # also need basemesh + calibration files
+    basemesh_path = str(tmp_path / "basemesh.obj")
+    objlib.save_obj(basemesh_path,
+                    np.asarray(scene.v_base).reshape(-1, 3),
+                    np.asarray(scene.uv), np.asarray(scene.faces),
+                    np.asarray(scene.uv_idx))
+    calib = {"cam0": {
+        "intrinsic": [[16.0, 0, 8.0], [0, 16.0, 8.0], [0, 0, 1]],
+        "distortion": [[0]] * 5,
+        "rotation": np.eye(3).tolist(),
+        "translation": [[0.0], [0.0], [30.0]],
+    }}
+    calibpath = tmp_path / "calib.json"
+    calibpath.write_text(json.dumps(calib))
+
+    from fpc_diffrend_tpu.tools.render_result import render_result
+
+    render_result(result_dir, str(calibpath), basemesh_path, ["cam0"],
+                  n_frames=2, resolution=(16, 16), mode="plain",
+                  write_imgs=True, impl="scan")
+    assert os.path.exists(os.path.join(result_dir, "frame0_plain.png"))
+    assert os.path.exists(os.path.join(result_dir, "frame1_plain.png"))
