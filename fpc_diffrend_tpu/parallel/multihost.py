@@ -12,7 +12,6 @@ sharded train step (parallel/train.py) is topology-agnostic.
 
 from __future__ import annotations
 
-import numpy as np
 
 import jax
 from jax.sharding import Mesh

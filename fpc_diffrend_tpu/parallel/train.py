@@ -19,8 +19,6 @@ tile-axis size, so psum(local) == reference loss (fit.py:579-582).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
