@@ -166,7 +166,7 @@ def main():
             arr = np.clip(np.rint(arr * 255), 0, 139).astype(np.uint8)
             Image.fromarray(arr).save(
                 os.path.join(camdir, f"take_{cam}_{f:02d}.tif"))
-    cov = float((arr > 0).mean())
+    cov = float((arr > 50).mean())  # above the 45-grey background
     print(f"take written ({len(calib_names)} cams x {args.frames} frames, "
           f"last-frame coverage {cov:.2f})", flush=True)
 
