@@ -111,6 +111,25 @@ def fit_take(config: FitConfig, resume: bool = True):
         video = ProgressVideo(config.out_dir)
         callbacks.append(progress_callback(
             video, config, scene, config.mp4_interval, frames_u8))
+    if config.display_interval:
+        # headless stand-in for the reference's live GL preview
+        # (fit.py:626-636): refresh out_dir/preview.png periodically
+        import jax.numpy as _jnp
+
+        from fpc_diffrend_tpu.fit import loop as _loop
+        from fpc_diffrend_tpu.utils.image import display_image, make_img
+
+        def display_cb(i, st, metrics):
+            if i % config.display_interval:
+                return
+            img, _ = _loop.render_sample(config, scene, st.params,
+                                         _jnp.int32(0), _jnp.int32(0))
+            ref = np.asarray(frames_u8[0, 0], np.float32)[..., None] / 255.0
+            grid = make_img(np.stack([ref[::-1],
+                                      np.asarray(img)[::-1]]))
+            display_image(grid, os.path.join(config.out_dir, "preview.png"))
+
+        callbacks.append(display_cb)
 
     # Like the reference (fit.py:644-652), an interrupt still saves results.
     try:

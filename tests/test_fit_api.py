@@ -95,3 +95,19 @@ def test_fit_take_rejects_bad_mode(take_dirs):
     config = FitConfig(mode="bogus")
     with pytest.raises(ValueError, match="bogus"):
         config.validate()
+
+
+def test_fit_take_display_interval(take_dirs, tmp_path):
+    """display_interval refreshes out_dir/preview.png (headless preview)."""
+    out_dir = str(tmp_path / "out_disp")
+    config = FitConfig(
+        max_iter=3, lr_base=1e-5, lr_t=1e-5, lr_q=1e-6,
+        basemeshpath=str(take_dirs / "basemesh.obj"),
+        localblpath=str(take_dirs / "blendshapes"),
+        imdir=str(take_dirs / "take"),
+        calibpath=str(take_dirs / "calibration.json"),
+        out_dir=out_dir, resolution=RES, texshape=(8, 8, 1),
+        mode="prior", cam_idxs=(0,), batch_size=2, raster_impl="scan",
+        log_interval=0, display_interval=2)
+    fit_api.fit_take(config, resume=False)
+    assert os.path.exists(os.path.join(out_dir, "preview.png"))
