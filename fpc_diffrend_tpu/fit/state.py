@@ -108,7 +108,12 @@ def normalize_quaternions(params: dict) -> dict:
     out = dict(params)
     for k in ("q_opt", "per_frame_q"):
         q = out[k]
-        out[k] = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        # Epsilon guard: a zero quaternion (possible after a pathological
+        # update) must not NaN the whole fit; it renormalizes to zero and
+        # rigid_from_pose treats it as identity-scale rotation garbage for
+        # one step instead of poisoning every parameter.
+        norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        out[k] = q / jnp.maximum(norm, 1e-12)
     return out
 
 

@@ -26,17 +26,27 @@ def initialize(coordinator_address: str | None = None,
 
     On Cloud TPU pods the arguments are auto-detected from the
     environment; pass them explicitly elsewhere.
+
+    ``jax.distributed.initialize`` must run before *any* backend access
+    (``jax.devices()`` / ``jax.process_count()`` would initialize the
+    local-only backend and make distributed init ineffective), so this
+    probes nothing first: it calls initialize directly and treats the
+    "already initialized" error as success.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except Exception as e:  # single-process / already-initialized
+    except RuntimeError as e:
+        # Raised when the distributed service is already initialized —
+        # benign for idempotent callers.
+        if "already initialized" not in str(e).lower():
+            raise
+    except ValueError:
+        # Single-process environments without coordinator autodetection:
+        # only acceptable when multi-process was not explicitly requested.
         if num_processes and num_processes > 1:
             raise
-        _ = e
 
 
 def make_pod_mesh(view_parallel: int = 1, tile_parallel: int = 1) -> Mesh:
