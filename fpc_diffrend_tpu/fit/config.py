@@ -74,6 +74,11 @@ class FitConfig:
     seed: int = 0
     raster_impl: str = "auto"    # auto | pallas | scan
     aa_max_pairs: int = 0        # 0 = auto (8*(H+W)); -1 = exact full grid
+    # Backward bin-entry cap for the Pallas gradient reduction. 0 = auto:
+    # fit_take measures the scene with raster_stats and sizes the cap so
+    # no gradient contribution can be dropped; >0 = explicit cap.
+    pair_cap: int = 0
+    steps_per_dispatch: int = 1  # lax.scan-ed steps per host dispatch
     checkpoint_interval: int = 0  # steps between orbax checkpoints (0 = off)
     checkpoint_dir: str = ""
     mesh_axes: Tuple[str, ...] = ()   # e.g. ("frame", "view") for sharding

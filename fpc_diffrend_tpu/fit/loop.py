@@ -64,7 +64,8 @@ def render_sample(config: FitConfig, scene: Scene, params: dict,
                  params["tex"], tuple(config.resolution),
                  scene.face_neighbors, enable_mip=config.enable_mip,
                  max_mip_level=config.max_mip_level, impl=config.raster_impl,
-                 aa_max_pairs=resolve_aa_max_pairs(config))
+                 aa_max_pairs=resolve_aa_max_pairs(config),
+                 pair_cap=config.pair_cap if config.pair_cap > 0 else None)
     return img, verts3
 
 
@@ -108,10 +109,9 @@ def loss_fn(params: dict, config: FitConfig, scene: Scene, batch: Batch,
     return total, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
-def train_step(config: FitConfig, scene: Scene, state: state_mod.TrainState,
-               batch: Batch) -> tuple[state_mod.TrainState, dict]:
-    """One optimization step (the whole body of fit.py:524-642)."""
+def _train_step_impl(config: FitConfig, scene: Scene,
+                     state: state_mod.TrainState,
+                     batch: Batch) -> tuple[state_mod.TrainState, dict]:
     grads, metrics = jax.grad(loss_fn, has_aux=True)(
         state.params, config, scene, batch, state.step)
     grads = state_mod.apply_corrective_gate(config, state.step, grads)
@@ -123,6 +123,43 @@ def train_step(config: FitConfig, scene: Scene, state: state_mod.TrainState,
     params = state_mod.normalize_quaternions(params)
     return state_mod.TrainState(step=state.step + 1, params=params,
                                 opt_state=opt_state), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
+def train_step(config: FitConfig, scene: Scene, state: state_mod.TrainState,
+               batch: Batch) -> tuple[state_mod.TrainState, dict]:
+    """One optimization step (the whole body of fit.py:524-642)."""
+    return _train_step_impl(config, scene, state, batch)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "k", "n_frames"),
+                   donate_argnames=("state",))
+def train_steps(config: FitConfig, scene: Scene,
+                state: state_mod.TrainState, frames_u8: Array,
+                rng_key: Array, k: int,
+                n_frames: int) -> tuple[state_mod.TrainState, dict]:
+    """``k`` train steps in one dispatch (lax.scan) with on-device
+    (camera, frame) sampling — at sub-50ms step times the per-step Python
+    dispatch and remote-attach latency would otherwise dominate.
+
+    :param rng_key: jax PRNG key for this dispatch's samples.
+    :return: (state, metrics) with metrics stacked over the k steps.
+    """
+    cams = jnp.asarray(config.cam_idxs, jnp.int32)
+
+    def body(state, key):
+        k1, k2 = jax.random.split(key)
+        cam = cams[jax.random.randint(k1, (config.batch_size,), 0,
+                                      cams.shape[0])]
+        frame = jax.random.randint(k2, (config.batch_size,), 0, n_frames)
+        batch = Batch(cam_idx=cam, frame_idx=frame,
+                      ref=decode_refs(frames_u8, cam, frame))
+        state, metrics = _train_step_impl(config, scene, state, batch)
+        return state, metrics
+
+    keys = jax.random.split(rng_key, k)
+    return jax.lax.scan(body, state, keys)
 
 
 def decode_refs(frames_u8: Array, cam_idx, frame_idx) -> Array:
@@ -162,9 +199,30 @@ def run_fit(config: FitConfig, scene: Scene, frames_u8: Array,
             scene.deltas.shape[1], tex_init, scene.n_cameras)
         state = state_mod.init_state(config, params)
 
+    total = config.max_iter if n_steps is None else n_steps
+    k = max(int(config.steps_per_dispatch), 1)
+    if k > 1:
+        # Multi-step dispatch: k scanned steps per host call, sampling on
+        # device; callbacks fire once per dispatch with the last step's
+        # metrics (they gate on their own intervals — set intervals to
+        # multiples of k for exact parity with per-step dispatch).
+        key = jax.random.PRNGKey(config.seed + int(state.step))
+        i = 0
+        while i < total:
+            kk = min(k, total - i)
+            key, sub = jax.random.split(key)
+            state, metrics_k = train_steps(config, scene, state, frames_u8,
+                                           sub, kk, n_frames)
+            i += kk
+            if callbacks:
+                last = jax.tree.map(lambda m: m[-1], metrics_k)
+                for cb in callbacks:
+                    cb(i - 1, state, last)
+        return state
+
     rng = np.random.default_rng(config.seed)
     sampler = sample_batches(config, n_frames, rng)
-    for i in range(config.max_iter if n_steps is None else n_steps):
+    for i in range(total):
         cam_np, frame_np = next(sampler)
         cam = jnp.asarray(cam_np)
         frame = jnp.asarray(frame_np)

@@ -99,6 +99,110 @@ def _pair_blend(color_a, color_b, rast_a, rast_b, centers_a, centers_b,
     return delta_a, delta_b
 
 
+def _pair_blend_planes(color_a, color_b, rast_a, rast_b, verts_a, verts_b,
+                       neigh_a, neigh_b, centers_a, centers_b):
+    """_pair_blend with the occluder's geometry supplied as per-pixel
+    image planes (the fused rasterizer's winner payload) instead of
+    per-pair triangle gathers — fully elementwise, TPU-friendly.
+
+    verts_* are (..., 6) = (x0, y0, x1, y1, x2, y2) screen corners of each
+    pixel's winning triangle; neigh_* are (..., 3) neighbor-face ids (as
+    floats, -1 = open edge).
+    """
+    id_a = rast_a[..., 3].astype(jnp.int32) - 1   # -1 = background
+    id_b = rast_b[..., 3].astype(jnp.int32) - 1
+    differs = id_a != id_b
+
+    z_a = jnp.where(id_a >= 0, rast_a[..., 2], jnp.inf)
+    z_b = jnp.where(id_b >= 0, rast_b[..., 2], jnp.inf)
+    a_is_occluder = z_a <= z_b
+    occ_id = jnp.where(a_is_occluder, id_a, id_b)
+    other_id = jnp.where(a_is_occluder, id_b, id_a).astype(jnp.float32)
+    valid = differs & (occ_id >= 0)
+
+    sel = a_is_occluder[..., None]
+    tv = jnp.where(sel, verts_a, verts_b)          # (..., 6)
+    neigh = jnp.where(sel, neigh_a, neigh_b)       # (..., 3)
+
+    pax, pay = centers_a[..., 0], centers_a[..., 1]
+    pbx, pby = centers_b[..., 0], centers_b[..., 1]
+
+    best_xi = jnp.zeros(z_a.shape, jnp.float32)
+    best_score = jnp.full(z_a.shape, jnp.inf)
+    found = jnp.zeros(z_a.shape, bool)
+    for j in range(3):
+        k = (j + 1) % 3
+        vax, vay = tv[..., 2 * j], tv[..., 2 * j + 1]
+        vbx, vby = tv[..., 2 * k], tv[..., 2 * k + 1]
+        f_a = _edge_fn(vax, vay, vbx, vby, pax, pay)
+        f_b = _edge_fn(vax, vay, vbx, vby, pbx, pby)
+        crossing = (f_a * f_b) < 0.0
+        shared = (neigh[..., j] >= 0.0) & (neigh[..., j] == other_id)
+        silhouette = ~shared
+        ok = crossing & silhouette
+        denom = f_a - f_b
+        xi = f_a / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+        score = jnp.abs(xi - 0.5)
+        better = ok & (score < best_score)
+        best_xi = jnp.where(better, xi, best_xi)
+        best_score = jnp.where(better, score, best_score)
+        found = found | ok
+
+    valid = valid & found
+    delta = jnp.clip(best_xi - 0.5, -0.5, 0.5)
+    delta = jnp.where(valid, delta, 0.0)[..., None]
+
+    diff = color_a - color_b
+    delta_b = jnp.where(delta > 0, delta * diff, 0.0)
+    delta_a = jnp.where(delta < 0, -delta * (-diff), 0.0)
+    return delta_a, delta_b
+
+
+def antialias_fused(color: Array, rast: Array, verts_img: Array,
+                    neigh_img: Array) -> Array:
+    """Antialias from the fused rasterizer's winner payload — elementwise.
+
+    The production TPU path: no triangle gathers, no pair compaction, no
+    scatters (pair deltas land via slice-adds); gradients flow to the
+    vertex planes (reduced onto triangles by the Pallas gradient kernel)
+    and to ``color``. Exact — every adjacent pixel pair is evaluated.
+
+    :param color: (H, W, C) shaded image.
+    :param rast: (H, W, 4) rasterizer output.
+    :param verts_img: (H, W, 6) winning triangle's screen corners.
+    :param neigh_img: (H, W, 3) winning triangle's neighbor-face ids.
+    :return: (H, W, C) antialiased image.
+    """
+    height, width = color.shape[0], color.shape[1]
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    cx = jnp.broadcast_to(xs[None, :], (height, width))
+    cy = jnp.broadcast_to(ys[:, None], (height, width))
+    centers = jnp.stack([cx, cy], axis=-1)             # (H, W, 2)
+
+    out = color
+
+    # Horizontal pairs: (y, x) vs (y, x+1)
+    da, db = _pair_blend_planes(
+        color[:, :-1], color[:, 1:], rast[:, :-1], rast[:, 1:],
+        verts_img[:, :-1], verts_img[:, 1:],
+        neigh_img[:, :-1], neigh_img[:, 1:],
+        centers[:, :-1], centers[:, 1:])
+    out = out.at[:, :-1].add(da)
+    out = out.at[:, 1:].add(db)
+
+    # Vertical pairs: (y, x) vs (y+1, x)
+    da, db = _pair_blend_planes(
+        color[:-1, :], color[1:, :], rast[:-1, :], rast[1:, :],
+        verts_img[:-1, :], verts_img[1:, :],
+        neigh_img[:-1, :], neigh_img[1:, :],
+        centers[:-1, :], centers[1:, :])
+    out = out.at[:-1, :].add(da)
+    out = out.at[1:, :].add(db)
+
+    return out
+
+
 def antialias(color: Array, rast: Array, pos_clip: Array, faces: Array,
               face_neighbors: Array, max_pairs: int | None = None) -> Array:
     """Antialias silhouette edges of a rendered image.

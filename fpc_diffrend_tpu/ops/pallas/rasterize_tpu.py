@@ -10,16 +10,22 @@ for the TPU execution model instead of a GPU pixel pipeline:
     relayout at the output write.
   * Triangle setup runs in XLA: per-triangle normalized edge-plane
     coefficients (lambda_i = a_i x + b_i y + c_i) and a screen-space depth
-    plane (z = zx x + zy y + zc), packed into 16-float records.
+    plane (z = zx x + zy y + zc), packed into a 32-float record together
+    with auxiliary per-triangle data (uv corners, screen-space corner
+    positions, neighbor-face ids) consumed by interpolation and the
+    elementwise antialias pass.
   * Binning runs in XLA: each triangle emits (tile, tri) pairs for a
-    WINDOW_Y x WINDOW_X tile window anchored at its bbox (64px tall x
-    256px wide in pixels); one int32 sort groups pairs by tile and
-    searchsorted yields per-tile [start, end) ranges. Triangles too large
-    for the window go to a small global list processed by every tile
-    (close-up triangles are rare in the face-capture workload).
+    WINDOW_Y x WINDOW_X tile window anchored at its bbox; one int32 sort
+    groups pairs by tile and a bincount/cumsum yields per-tile [start,
+    end) ranges. Triangles too large for the window go to a small global
+    list loaded once into persistent VMEM and processed by every tile
+    whose rows its 32-record blocks overlap.
   * The kernel scalar-prefetches the bin offsets, streams its bin from HBM
-    in fixed-size chunks via async DMA, and resolves coverage + depth with
-    a few fused VPU ops per triangle.
+    in 128-record chunks via double-buffered async DMA, and resolves
+    coverage + depth with fused VPU ops. Within each chunk, 32-record
+    sub-blocks outside the bin's live range are skipped with predicated
+    execution — the chunk windows are 128-aligned while bins average a few
+    dozen records, so this removes most of the padding work.
 
 Coverage rule matches ops/rasterize.py:visibility_scan: inside = all
 normalized barycentrics >= 0 (both windings), depth = screen-linear ndc z,
@@ -43,7 +49,11 @@ TILE_W = 128              # tile width in pixels (VPU lanes)
 WINDOW_Y = 4              # binning window in tiles (32 px tall)
 WINDOW_X = 2              # binning window in tiles (256 px wide)
 CHUNK = 128               # triangles DMA'd per bin chunk
+SUB = 32                  # predicated sub-block granularity within a chunk
 MAX_GLOBAL = 1024         # cap for oversized-triangle global list
+REC = 32                  # floats per combined triangle record
+# payload plane order emitted by the fused kernel (after the id plane)
+N_PAYLOAD = 14            # u v z tu tv x0 y0 x1 y1 x2 y2 n0 n1 n2
 _AREA_EPS = 1e-12
 _W_EPS = 1e-9
 
@@ -125,34 +135,57 @@ def triangle_setup(pos_clip: Array, faces: Array, height: int, width: int):
     return data, tile_bbox, valid
 
 
-class Bins(NamedTuple):
-    """Tile-binned triangle records (see bin_triangles)."""
+def aux_records(uv: Array, uv_idx: Array, pos_clip: Array, faces: Array,
+                face_neighbors: Array | None, height: int,
+                width: int) -> Array:
+    """(T, 16) auxiliary rows: uv corners, screen corners, neighbor ids.
 
-    sorted_data_t: Array    # (16, P) transposed records, tile-grouped
-    bin_start: Array        # (n_tiles + 1,) i32 bin offsets into P
-    global_data_t: Array    # (16, MAX_GLOBAL) oversized-triangle records
-    n_global: Array         # (1,) i32
-    sorted_tri: Array       # (P_raw,) i32 triangle index per sorted pair
-    global_idx: Array       # (MAX_GLOBAL,) i32 triangle index per global row
-    sorted_aux_t: Array     # (8, P) auxiliary per-triangle rows (uv corners)
-    global_aux_t: Array     # (8, MAX_GLOBAL)
+    Layout: [u0 v0 u1 v1 u2 v2 x0 y0 x1 y1 x2 y2 n0 n1 n2 0].
+    Differentiable w.r.t. ``uv`` and ``pos_clip`` — the fused rasterize
+    custom VJP chains interpolated-coordinate and antialias-vertex
+    gradients back through these gathers.
+    """
+    T = faces.shape[0]
+    corners = uv[uv_idx].reshape(T, 6)               # (T, 6)
+    w = pos_clip[:, 3:4]
+    safe_w = jnp.where(jnp.abs(w) > _W_EPS, w, _W_EPS)
+    ndc = pos_clip[:, :2] / safe_w
+    sx = (ndc[:, 0] + 1.0) * (0.5 * width)
+    sy = (ndc[:, 1] + 1.0) * (0.5 * height)
+    sv = jnp.stack([sx, sy], axis=1)                 # (V, 2)
+    verts = sv[faces].reshape(T, 6)                  # (T, 6)
+    if face_neighbors is None:
+        neigh = jnp.full((T, 3), -1.0, jnp.float32)
+    else:
+        neigh = face_neighbors.astype(jnp.float32)
+    pad = jnp.zeros((T, 1), jnp.float32)
+    return jnp.concatenate([corners, verts, neigh, pad], axis=1)
 
 
 def uv_records(uv: Array, uv_idx: Array) -> Array:
-    """(T, 8) per-triangle uv corners [u0 v0 u1 v1 u2 v2 0 0].
-
-    Differentiable w.r.t. ``uv`` — the custom VJP chains interpolated-
-    coordinate gradients through this gather.
-    """
+    """(T, 8) uv corner rows [u0 v0 u1 v1 u2 v2 0 0] (round-1 layout,
+    kept for tests); prefer aux_records for the fused pipeline."""
     corners = uv[uv_idx]                     # (T, 3, 2)
     flat = corners.reshape(-1, 6)
     pad = jnp.zeros((flat.shape[0], 2), flat.dtype)
     return jnp.concatenate([flat, pad], axis=1)
 
 
+class Bins(NamedTuple):
+    """Tile-binned combined triangle records (see bin_triangles)."""
+
+    sorted_rec_t: Array     # (REC, P) transposed records, tile-grouped
+    bin_start: Array        # (n_tiles + 1,) i32 bin offsets into P
+    global_rec_t: Array     # (REC, MAX_GLOBAL) oversized-triangle records
+    n_global: Array         # (1,) i32
+    sorted_tri: Array       # (P_raw,) i32 triangle index per sorted pair
+    global_idx: Array       # (MAX_GLOBAL,) i32 triangle index per global row
+    gblk_ty: Array          # (2, MAX_GLOBAL // SUB) i32 per-block tile-row
+                            # [min, max] ranges for predicated skipping
+
+
 def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
-                  height: int, width: int,
-                  aux: Array | None = None) -> "Bins":
+                  height: int, width: int, aux: Array) -> "Bins":
     """Group triangles by tile via one int32 key sort."""
     T = data.shape[0]
     gx = (width + TILE_W - 1) // TILE_W
@@ -183,15 +216,17 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
     keys = jnp.sort(keys)
     sorted_tile = keys // T
     sorted_tri = keys % T
-    sorted_data = data[sorted_tri]
+
+    rec = jnp.concatenate([data, jax.lax.stop_gradient(aux)], axis=1)
+    sorted_rec = rec[sorted_tri]
     # Pad so every CHUNK-sized DMA window starting inside the live region
-    # stays in bounds, then store TRANSPOSED (16, P): the kernel DMAs
-    # lane-aligned (16, CHUNK) column blocks (Mosaic requires 128-aligned
+    # stays in bounds, then store TRANSPOSED (REC, P): the kernel DMAs
+    # lane-aligned (REC, CHUNK) column blocks (Mosaic requires 128-aligned
     # last-dim slices) and reads coefficients as vectors, never scalars.
-    pad_rows = CHUNK + (-sorted_data.shape[0]) % CHUNK
-    sorted_data = jnp.concatenate(
-        [sorted_data, jnp.zeros((pad_rows, 16), sorted_data.dtype)], axis=0)
-    sorted_data_t = sorted_data.T  # (16, P)
+    pad_rows = CHUNK + (-sorted_rec.shape[0]) % CHUNK
+    sorted_rec = jnp.concatenate(
+        [sorted_rec, jnp.zeros((pad_rows, REC), sorted_rec.dtype)], axis=0)
+    sorted_rec_t = sorted_rec.T  # (REC, P)
 
     counts = jnp.bincount(sorted_tile, length=n_tiles + 1)
     bin_start = jnp.concatenate(
@@ -208,36 +243,141 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
     n_global = jnp.sum(big).astype(jnp.int32)
     n_global = jnp.minimum(n_global, MAX_GLOBAL)
     safe_big = jnp.minimum(big_idx, T - 1)
-    global_data = jnp.where((big_idx < T)[:, None], data[safe_big], 0.0)
-    global_data_t = global_data.T  # (16, MAX_GLOBAL)
+    grow = (big_idx < T)[:, None]
+    global_rec = jnp.where(grow, rec[safe_big], 0.0)
+    global_rec_t = global_rec.T  # (REC, MAX_GLOBAL)
 
-    if aux is None:
-        aux = jnp.zeros((T, 8), jnp.float32)
-    sorted_aux = jax.lax.stop_gradient(aux)[sorted_tri]
-    sorted_aux = jnp.concatenate(
-        [sorted_aux, jnp.zeros((pad_rows, 8), sorted_aux.dtype)], axis=0)
-    global_aux = jnp.where((big_idx < T)[:, None],
-                           jax.lax.stop_gradient(aux)[safe_big], 0.0)
+    # Per-CHUNK-record tile-row ranges of the global list so tiles can
+    # skip blocks whose triangles can't touch their rows.
+    g_ty0 = jnp.where(big_idx < T, ty0[safe_big], gy)
+    g_ty1 = jnp.where(big_idx < T, ty1[safe_big], -1)
+    blk_min = jnp.min(g_ty0.reshape(-1, CHUNK), axis=1)
+    blk_max = jnp.max(g_ty1.reshape(-1, CHUNK), axis=1)
+    gblk_ty = jnp.stack([blk_min, blk_max]).astype(jnp.int32)
 
-    return Bins(sorted_data_t=sorted_data_t, bin_start=bin_start,
-                global_data_t=global_data_t, n_global=n_global.reshape(1),
-                sorted_tri=sorted_tri, global_idx=big_idx,
-                sorted_aux_t=sorted_aux.T, global_aux_t=global_aux.T)
+    return Bins(sorted_rec_t=sorted_rec_t, bin_start=bin_start,
+                global_rec_t=global_rec_t, n_global=n_global.reshape(1),
+                sorted_tri=sorted_tri, global_idx=big_idx, gblk_ty=gblk_ty)
 
 
 # ----------------------------------------------------------------------------
-# The kernel
+# The kernels
 # ----------------------------------------------------------------------------
 
-def _visibility_kernel(gx: int,
-                       # scalar prefetch
-                       bin_start_ref, n_global_ref,
-                       # inputs
-                       sorted_data_hbm, global_data_hbm,
-                       # outputs
-                       id_out_ref, z_out_ref,
-                       # scratch
-                       chunk_vmem, global_vmem, dma_sem, global_sem):
+def pad_resolution(height: int, width: int):
+    ph = (height + TILE_H - 1) // TILE_H * TILE_H
+    pw = (width + TILE_W - 1) // TILE_W * TILE_W
+    return ph, pw
+
+
+_BIG = 3.0e38
+
+
+def _sub_candidates(at, rec_base, lo, hi, ti, x_row):
+    """Winner candidates for one record block against the whole tile.
+
+    ``at`` is an (n, REC) array of transposed records (n = SUB for binned
+    sub-blocks, CHUNK for global blocks; records on sublanes — Mosaic
+    only allows 128-aligned lane slices, so callers transpose the whole
+    chunk once and hand in 8-aligned sublane slices). Returns 16
+    (TILE_H, TILE_W) planes: z, id, then the N_PAYLOAD payload planes.
+    Pure vector ops: per tile row, (record, pixel) planes from
+    coefficient columns broadcast against the pixel-x row,
+    coverage-masked depth min-reduce.
+    """
+    a0 = at[:, 0:1]; b0 = at[:, 1:2]; c0 = at[:, 2:3]
+    a1 = at[:, 3:4]; b1 = at[:, 4:5]; c1 = at[:, 5:6]
+    a2 = at[:, 6:7]; b2 = at[:, 7:8]; c2 = at[:, 8:9]
+    zx = at[:, 9:10]; zy = at[:, 10:11]; zc = at[:, 11:12]
+    tid = at[:, 12:13]
+    w0 = at[:, 13:14]; w1 = at[:, 14:15]; w2 = at[:, 15:16]
+    iw0 = 1.0 / jnp.where(jnp.abs(w0) > _W_EPS, w0, 1.0)
+    iw1 = 1.0 / jnp.where(jnp.abs(w1) > _W_EPS, w1, 1.0)
+    iw2 = 1.0 / jnp.where(jnp.abs(w2) > _W_EPS, w2, 1.0)
+    # aux payload columns: uv corners, screen corners, neighbors
+    payload_cols = [at[:, 16 + i:17 + i] for i in range(9 + 3)]
+    (cu0, cv0, cu1, cv1, cu2, cv2) = payload_cols[:6]
+    vert_neigh = payload_cols[6:]                         # x0..y2? see below
+    # columns 22..27 are x0 y0 x1 y1 x2 y2, 28..30 neighbors
+    verts = [at[:, 22 + i:23 + i] for i in range(6)]
+    neigh = [at[:, 28 + i:29 + i] for i in range(3)]
+    del vert_neigh
+
+    n = at.shape[0]
+    rec_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    rec = rec_base + rec_iota
+    active = (rec >= lo) & (rec < hi)                     # (n, 1)
+
+    rows = [[] for _ in range(2 + N_PAYLOAD)]
+    for g in range(TILE_H):
+        y = (ti * TILE_H + g).astype(jnp.float32) + 0.5   # scalar
+        l0 = a0 * x_row + (b0 * y + c0)                   # (SUB, 128)
+        l1 = a1 * x_row + (b1 * y + c1)
+        l2 = a2 * x_row + (b2 * y + c2)
+        z = zx * x_row + (zy * y + zc)
+        covered = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                   & (z >= -1.0) & (z <= 1.0) & active)
+        zm = jnp.where(covered, z, _BIG)
+        zmin = jnp.min(zm, axis=0, keepdims=True)          # (1, 128)
+        idm = jnp.where(zm <= zmin, tid, _BIG)
+        idmin = jnp.min(idm, axis=0, keepdims=True)        # (1, 128)
+        # winner-select: tids are unique within a bin, but the chunk
+        # window may hold the same triangle binned for a neighboring
+        # tile — require coverage (includes the active mask) so exactly
+        # one row matches
+        eq = ((tid == idmin) & covered).astype(jnp.float32)
+        d0 = l0 * iw0
+        d1 = l1 * iw1
+        d2 = l2 * iw2
+        rD = 1.0 / jnp.where(jnp.abs(d0 + d1 + d2) > _AREA_EPS,
+                             d0 + d1 + d2, 1.0)
+        up = d0 * rD
+        vp = d1 * rD
+        # texc = u*c0 + v*c1 + (1-u-v)*c2
+        tu = up * (cu0 - cu2) + vp * (cu1 - cu2) + cu2
+        tv = up * (cv0 - cv2) + vp * (cv1 - cv2) + cv2
+
+        s = functools.partial(jnp.sum, axis=0, keepdims=True)
+        rows[0].append(zmin)
+        rows[1].append(idmin)
+        rows[2].append(s(eq * up))
+        rows[3].append(s(eq * vp))
+        rows[4].append(zmin)          # z payload (same plane, masked later)
+        rows[5].append(s(eq * tu))
+        rows[6].append(s(eq * tv))
+        for q in range(6):
+            rows[7 + q].append(s(eq * verts[q]))
+        for q in range(3):
+            rows[13 + q].append(s(eq * neigh[q]))
+
+    return [jnp.concatenate(r, axis=0) for r in rows]     # 16 x (8, 128)
+
+
+def _merge_candidates(acc, cand):
+    """Merge one sub-block's candidate planes into the accumulator scratch.
+
+    acc is a VMEM ref of shape (2 + N_PAYLOAD, TILE_H, TILE_W) with
+    acc[0] = best z (init _BIG), acc[1] = winning id, acc[2:] = payload.
+    """
+    z_new = cand[0]
+    better = z_new < acc[0]
+    acc[0] = jnp.where(better, z_new, acc[0])
+    for i in range(1, 2 + N_PAYLOAD):
+        acc[i] = jnp.where(better, cand[i], acc[i])
+
+
+def _fused_kernel(gx: int, n_tiles: int,
+                  # scalar prefetch
+                  bin_start_ref, n_global_ref, gblk_ty_ref,
+                  # inputs
+                  sorted_hbm, global_hbm,
+                  # outputs
+                  id_out_ref, payload_out_ref,
+                  # scratch
+                  chunk_vmem, global_vmem, acc, dma_sem, global_sem):
+    """Visibility + perspective-correct attributes + winner payload in one
+    pass: rasterize, interpolate and the antialias-input planes with no
+    per-pixel gathers anywhere."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tile_idx = ti * gx + tj
@@ -247,158 +387,162 @@ def _visibility_kernel(gx: int,
     count = end - start
     n_global = n_global_ref[0]
 
-    BIG = jnp.float32(3.0e38)
-    zbuf0 = jnp.full((TILE_H, TILE_W), BIG)
-    idbuf0 = jnp.full((TILE_H, TILE_W), jnp.float32(-1.0))
+    # Load the (small) global-triangle list into persistent VMEM once.
+    @pl.when((tile_idx == 0) & (n_global > 0))
+    def _():
+        dma = pltpu.make_async_copy(global_hbm, global_vmem, global_sem)
+        dma.start()
+        dma.wait()
 
-    # x along lanes (shared by all tile rows); record index along sublanes.
+    # x along lanes (shared by all tile rows).
     x_row = (tj * TILE_W
              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
              ).astype(jnp.float32) + 0.5                       # (1, 128)
-    rec_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-    def process_chunk(vmem, rec_base, lo, hi, carry):
-        """Resolve CHUNK records (from a (16, CHUNK) VMEM block) against the
-        whole tile using only vector ops: per tile row, build
-        (record, pixel) planes by broadcasting coefficient columns against
-        the pixel-x row, mask coverage, and min-reduce depth over records.
-        Records outside [lo, hi) are masked off.
-        """
-        zb, ib = carry
-        at = vmem[:].T                                        # (CHUNK, 16)
-        a0 = at[:, 0:1]; b0 = at[:, 1:2]; c0 = at[:, 2:3]
-        a1 = at[:, 3:4]; b1 = at[:, 4:5]; c1 = at[:, 5:6]
-        a2 = at[:, 6:7]; b2 = at[:, 7:8]; c2 = at[:, 8:9]
-        zx = at[:, 9:10]; zy = at[:, 10:11]; zc = at[:, 11:12]
-        tid = at[:, 12:13]                                    # (CHUNK, 1)
-        rec = rec_base + rec_iota
-        active = (rec >= lo) & (rec < hi)                     # (CHUNK, 1)
+    # init accumulator: z = BIG, id = -1, payload = 0
+    acc[0] = jnp.full((TILE_H, TILE_W), _BIG)
+    acc[1] = jnp.full((TILE_H, TILE_W), -1.0)
+    for i in range(2, 2 + N_PAYLOAD):
+        acc[i] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
-        z_rows = []
-        id_rows = []
-        for g in range(TILE_H):
-            y = (ti * TILE_H + g).astype(jnp.float32) + 0.5   # scalar
-            l0 = a0 * x_row + (b0 * y + c0)                   # (CHUNK, 128)
-            l1 = a1 * x_row + (b1 * y + c1)
-            l2 = a2 * x_row + (b2 * y + c2)
-            z = zx * x_row + (zy * y + zc)
-            covered = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-                       & (z >= -1.0) & (z <= 1.0) & active)
-            zm = jnp.where(covered, z, BIG)
-            zmin = jnp.min(zm, axis=0, keepdims=True)          # (1, 128)
-            idm = jnp.where(zm <= zmin, tid, BIG)
-            idmin = jnp.min(idm, axis=0, keepdims=True)        # (1, 128)
-            z_rows.append(zmin)
-            id_rows.append(idmin)
-
-        z_new = jnp.concatenate(z_rows, axis=0)                # (8, 128)
-        id_new = jnp.concatenate(id_rows, axis=0)
-        better = z_new < zb
-        zb = jnp.where(better, z_new, zb)
-        ib = jnp.where(better, id_new, ib)
-        return zb, ib
-
-    # ---- binned triangles, streamed in CHUNK-record column blocks ----
+    # ---- binned records, double-buffered CHUNK-column streaming ----
     first_chunk = start // CHUNK
     n_chunks = jnp.where(count > 0,
                          (end - 1) // CHUNK - first_chunk + 1, 0)
 
-    def chunk_body(ci, carry):
-        col0 = (first_chunk + ci) * CHUNK
-        src = sorted_data_hbm.at[:, pl.ds(col0, CHUNK)]
-        dma = pltpu.make_async_copy(src, chunk_vmem, dma_sem)
-        dma.start()
-        dma.wait()
-        return process_chunk(chunk_vmem, col0, start, end, carry)
+    def data_dma(slot, ci):
+        col0 = pl.multiple_of((first_chunk + ci) * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            sorted_hbm.at[:, pl.ds(col0, CHUNK)],
+            chunk_vmem.at[slot], dma_sem.at[slot])
 
-    carry = jax.lax.fori_loop(0, n_chunks, chunk_body, (zbuf0, idbuf0))
-
-    # ---- global (oversized) triangles ----
-    @pl.when(n_global > 0)
+    @pl.when(n_chunks > 0)
     def _():
-        dma = pltpu.make_async_copy(global_data_hbm, global_vmem, global_sem)
-        dma.start()
-        dma.wait()
+        data_dma(0, 0).start()
 
-    def global_body(ci, carry):
-        gvmem_block = global_vmem.at[:, pl.ds(ci * CHUNK, CHUNK)]
-        return process_chunk(gvmem_block, ci * CHUNK, 0, n_global, carry)
+    def chunk_body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+        nxt = jax.lax.rem(ci + 1, 2)
 
-    n_gchunks = (n_global + CHUNK - 1) // CHUNK
-    zbuf, idbuf = jax.lax.fori_loop(0, n_gchunks, global_body, carry)
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            data_dma(nxt, ci + 1).start()
 
-    id_out_ref[:] = jnp.where(zbuf < BIG, idbuf, -1.0).astype(jnp.int32)
-    z_out_ref[:] = zbuf
+        data_dma(slot, ci).wait()
+        col0 = (first_chunk + ci) * CHUNK
+        at_full = chunk_vmem[slot].T                      # (CHUNK, REC)
+        for sb in range(CHUNK // SUB):
+            sub_base = col0 + sb * SUB
+
+            @pl.when((sub_base < end) & (sub_base + SUB > start))
+            def _():
+                at = at_full[sb * SUB:(sb + 1) * SUB, :]
+                cand = _sub_candidates(at, sub_base, start, end, ti,
+                                       x_row)
+                _merge_candidates(acc, cand)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    # ---- global (oversized) triangles, row-range predicated ----
+    for gb in range(MAX_GLOBAL // CHUNK):
+        blk_min = gblk_ty_ref[0, gb]
+        blk_max = gblk_ty_ref[1, gb]
+
+        @pl.when((gb * CHUNK < n_global) & (blk_min <= ti)
+                 & (ti <= blk_max))
+        def _():
+            at = global_vmem[:, pl.ds(gb * CHUNK, CHUNK)].T
+            cand = _sub_candidates(at, gb * CHUNK, 0, n_global, ti,
+                                   x_row)
+            _merge_candidates(acc, cand)
+
+    hit = acc[0] < _BIG
+    id_out_ref[:] = jnp.where(hit, acc[1], -1.0).astype(jnp.int32)
+    # payload plane 2 (z) needs the background mask; others are already 0
+    # at misses by construction of the eq-sums
+    for i in range(N_PAYLOAD):
+        plane = acc[2 + i]
+        if i == 2:
+            plane = jnp.where(hit, acc[0], 0.0)
+        payload_out_ref[i] = plane
 
 
 # ----------------------------------------------------------------------------
 # Public entry
 # ----------------------------------------------------------------------------
 
-def pad_resolution(height: int, width: int):
-    ph = (height + TILE_H - 1) // TILE_H * TILE_H
-    pw = (width + TILE_W - 1) // TILE_W * TILE_W
-    return ph, pw
-
-
 def bin_scene(pos_clip: Array, faces: Array, height: int, width: int,
               aux: Array | None = None):
     """Triangle setup + binning for a render target; shared between the
     visibility and gradient kernels.
 
-    :param aux: optional (T, 8) per-triangle auxiliary rows (uv corners)
-        carried alongside the records for the fused interpolation path.
+    :param aux: optional (T, 16) auxiliary rows (see aux_records).
     :return: (data (T, 16), Bins)
     """
     ph, pw = pad_resolution(height, width)
     data, tile_bbox, valid = triangle_setup(pos_clip, faces.astype(jnp.int32),
                                             height, width)
+    if aux is None:
+        aux = jnp.zeros((faces.shape[0], 16), jnp.float32)
     bins = bin_triangles(data, tile_bbox, valid, ph, pw, aux=aux)
     return data, bins
 
 
-def visibility_from_bins(bins: "Bins", height: int, width: int,
-                         interpret: bool = False) -> Array:
-    """(H, W) int32 winning triangle ids from precomputed bins."""
+def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
+                              interpret: bool = False):
+    """(idbuf (H, W) i32, payload (N_PAYLOAD, H, W) f32) from precomputed
+    bins — one kernel pass, no per-pixel gathers. Payload planes:
+    [u, v, z, tu, tv, x0, y0, x1, y1, x2, y2, n0, n1, n2] of the winning
+    triangle per pixel ((tu, tv) interpolate the aux uv corners; the
+    screen-corner and neighbor planes feed the elementwise antialias)."""
     ph, pw = pad_resolution(height, width)
     gy, gx = ph // TILE_H, pw // TILE_W
-    sorted_data = bins.sorted_data_t
-    bin_start = bins.bin_start
-    global_data = bins.global_data_t
-    n_global = bins.n_global
+    n_tiles = gy * gx
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(gy, gx),
         in_specs=[
             # Force HBM: bins are streamed via manual DMA, and VMEM
-            # placement would impose (8, 128) tiling on the 16-wide rows.
+            # placement would impose (8, 128) tiling on the narrow rows.
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((N_PAYLOAD, TILE_H, TILE_W),
+                         lambda i, j, *_: (0, i, j)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((16, CHUNK), jnp.float32),
-            pltpu.VMEM((16, MAX_GLOBAL), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, REC, CHUNK), jnp.float32),   # double-buffered
+            pltpu.VMEM((REC, MAX_GLOBAL), jnp.float32),  # persistent
+            pltpu.VMEM((2 + N_PAYLOAD, TILE_H, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
 
-    idbuf, _zbuf = pl.pallas_call(
-        functools.partial(_visibility_kernel, gx),
+    idbuf, payload = pl.pallas_call(
+        functools.partial(_fused_kernel, gx, n_tiles),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((N_PAYLOAD, ph, pw), jnp.float32),
         ],
         interpret=interpret,
-    )(bin_start, n_global, sorted_data, global_data)
+    )(bins.bin_start, bins.n_global, bins.gblk_ty,
+      bins.sorted_rec_t, bins.global_rec_t)
 
-    return idbuf[:height, :width]
+    return idbuf[:height, :width], payload[:, :height, :width]
+
+
+def visibility_from_bins(bins: "Bins", height: int, width: int,
+                         interpret: bool = False) -> Array:
+    """(H, W) int32 winning triangle ids from precomputed bins."""
+    idbuf, _ = fused_rasterize_from_bins(bins, height, width,
+                                         interpret=interpret)
+    return idbuf
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
@@ -440,222 +584,3 @@ def visibility_pallas(pos_clip: Array, faces: Array, height: int, width: int,
     """
     _, bins = bin_scene(pos_clip, faces, height, width)
     return visibility_from_bins(bins, height, width, interpret=interpret)
-
-
-# ----------------------------------------------------------------------------
-# Fused kernel: visibility + perspective-correct attributes in one pass
-# ----------------------------------------------------------------------------
-
-def _fused_kernel(gx: int,
-                  bin_start_ref, n_global_ref,
-                  sorted_data_hbm, global_data_hbm,
-                  sorted_aux_hbm, global_aux_hbm,
-                  id_out_ref, u_out_ref, v_out_ref, z_out_ref,
-                  tu_out_ref, tv_out_ref,
-                  chunk_vmem, aux_vmem, global_vmem, gaux_vmem,
-                  dma_sem, aux_sem, global_sem, gaux_sem):
-    """Like _visibility_kernel, but also resolves the winning record's
-    perspective-correct barycentrics (u, v) AND interpolated uv
-    coordinates (tu, tv) per pixel — forward rasterize + interpolate in
-    one pass without any per-pixel record gather."""
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    tile_idx = ti * gx + tj
-
-    start = bin_start_ref[tile_idx]
-    end = bin_start_ref[tile_idx + 1]
-    count = end - start
-    n_global = n_global_ref[0]
-
-    BIG = jnp.float32(3.0e38)
-    zbuf0 = jnp.full((TILE_H, TILE_W), BIG)
-    idbuf0 = jnp.full((TILE_H, TILE_W), jnp.float32(-1.0))
-    zero_img = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-
-    x_row = (tj * TILE_W
-             + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
-             ).astype(jnp.float32) + 0.5
-    rec_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-
-    def process_chunk(vmem, auxmem, rec_base, lo, hi, carry):
-        zb, ib, ub, vb, tub, tvb = carry
-        at = vmem[:].T
-        a0 = at[:, 0:1]; b0 = at[:, 1:2]; c0 = at[:, 2:3]
-        a1 = at[:, 3:4]; b1 = at[:, 4:5]; c1 = at[:, 5:6]
-        a2 = at[:, 6:7]; b2 = at[:, 7:8]; c2 = at[:, 8:9]
-        zx = at[:, 9:10]; zy = at[:, 10:11]; zc = at[:, 11:12]
-        tid = at[:, 12:13]
-        w0 = at[:, 13:14]; w1 = at[:, 14:15]; w2 = at[:, 15:16]
-        iw0 = 1.0 / jnp.where(jnp.abs(w0) > 1e-9, w0, 1.0)
-        iw1 = 1.0 / jnp.where(jnp.abs(w1) > 1e-9, w1, 1.0)
-        iw2 = 1.0 / jnp.where(jnp.abs(w2) > 1e-9, w2, 1.0)
-        uvt = auxmem[:].T
-        cu0 = uvt[:, 0:1]; cv0 = uvt[:, 1:2]
-        cu1 = uvt[:, 2:3]; cv1 = uvt[:, 3:4]
-        cu2 = uvt[:, 4:5]; cv2 = uvt[:, 5:6]
-        rec = rec_base + rec_iota
-        active = (rec >= lo) & (rec < hi)
-
-        z_rows = []; id_rows = []; u_rows = []; v_rows = []
-        tu_rows = []; tv_rows = []
-        for g in range(TILE_H):
-            y = (ti * TILE_H + g).astype(jnp.float32) + 0.5
-            l0 = a0 * x_row + (b0 * y + c0)
-            l1 = a1 * x_row + (b1 * y + c1)
-            l2 = a2 * x_row + (b2 * y + c2)
-            z = zx * x_row + (zy * y + zc)
-            covered = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-                       & (z >= -1.0) & (z <= 1.0) & active)
-            zm = jnp.where(covered, z, BIG)
-            zmin = jnp.min(zm, axis=0, keepdims=True)
-            idm = jnp.where(zm <= zmin, tid, BIG)
-            idmin = jnp.min(idm, axis=0, keepdims=True)
-            # winner-select: tids are unique within a bin, but the chunk
-            # window may hold the same triangle binned for a neighboring
-            # tile — require coverage (includes the active mask) so
-            # exactly one row matches
-            eq = ((tid == idmin) & covered).astype(jnp.float32)
-            d0 = l0 * iw0
-            d1 = l1 * iw1
-            d2 = l2 * iw2
-            rD = 1.0 / jnp.where(jnp.abs(d0 + d1 + d2) > 1e-12,
-                                 d0 + d1 + d2, 1.0)
-            up = d0 * rD
-            vp = d1 * rD
-            u_rows.append(jnp.sum(eq * up, axis=0, keepdims=True))
-            v_rows.append(jnp.sum(eq * vp, axis=0, keepdims=True))
-            # texc = u*c0 + v*c1 + (1-u-v)*c2
-            tu = up * (cu0 - cu2) + vp * (cu1 - cu2) + cu2
-            tv = up * (cv0 - cv2) + vp * (cv1 - cv2) + cv2
-            tu_rows.append(jnp.sum(eq * tu, axis=0, keepdims=True))
-            tv_rows.append(jnp.sum(eq * tv, axis=0, keepdims=True))
-            z_rows.append(zmin)
-            id_rows.append(idmin)
-
-        z_new = jnp.concatenate(z_rows, axis=0)
-        better = z_new < zb
-        zb = jnp.where(better, z_new, zb)
-        ib = jnp.where(better, jnp.concatenate(id_rows, axis=0), ib)
-        ub = jnp.where(better, jnp.concatenate(u_rows, axis=0), ub)
-        vb = jnp.where(better, jnp.concatenate(v_rows, axis=0), vb)
-        tub = jnp.where(better, jnp.concatenate(tu_rows, axis=0), tub)
-        tvb = jnp.where(better, jnp.concatenate(tv_rows, axis=0), tvb)
-        return zb, ib, ub, vb, tub, tvb
-
-    first_chunk = start // CHUNK
-    n_chunks = jnp.where(count > 0,
-                         (end - 1) // CHUNK - first_chunk + 1, 0)
-
-    # Double-buffered bin streaming: prefetch chunk ci+1 while processing
-    # ci (chunk_vmem/aux_vmem have a leading slot dim of 2).
-    def data_dma(slot, ci):
-        col0 = (first_chunk + ci) * CHUNK
-        return pltpu.make_async_copy(
-            sorted_data_hbm.at[:, pl.ds(col0, CHUNK)],
-            chunk_vmem.at[slot], dma_sem.at[slot])
-
-    def aux_dma(slot, ci):
-        col0 = (first_chunk + ci) * CHUNK
-        return pltpu.make_async_copy(
-            sorted_aux_hbm.at[:, pl.ds(col0, CHUNK)],
-            aux_vmem.at[slot], aux_sem.at[slot])
-
-    @pl.when(n_chunks > 0)
-    def _():
-        data_dma(0, 0).start()
-        aux_dma(0, 0).start()
-
-    def chunk_body(ci, carry):
-        slot = jax.lax.rem(ci, 2)
-        nxt = jax.lax.rem(ci + 1, 2)
-
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            data_dma(nxt, ci + 1).start()
-            aux_dma(nxt, ci + 1).start()
-
-        data_dma(slot, ci).wait()
-        aux_dma(slot, ci).wait()
-        col0 = (first_chunk + ci) * CHUNK
-        return process_chunk(chunk_vmem.at[slot], aux_vmem.at[slot],
-                             col0, start, end, carry)
-
-    carry = jax.lax.fori_loop(
-        0, n_chunks, chunk_body,
-        (zbuf0, idbuf0, zero_img, zero_img, zero_img, zero_img))
-
-    @pl.when(n_global > 0)
-    def _():
-        dma = pltpu.make_async_copy(global_data_hbm, global_vmem, global_sem)
-        dma.start()
-        adma = pltpu.make_async_copy(global_aux_hbm, gaux_vmem, gaux_sem)
-        adma.start()
-        dma.wait()
-        adma.wait()
-
-    def global_body(ci, carry):
-        gblock = global_vmem.at[:, pl.ds(ci * CHUNK, CHUNK)]
-        gaux = gaux_vmem.at[:, pl.ds(ci * CHUNK, CHUNK)]
-        return process_chunk(gblock, gaux, ci * CHUNK, 0, n_global, carry)
-
-    n_gchunks = (n_global + CHUNK - 1) // CHUNK
-    zbuf, idbuf, ubuf, vbuf, tubuf, tvbuf = jax.lax.fori_loop(
-        0, n_gchunks, global_body, carry)
-
-    hit = zbuf < BIG
-    id_out_ref[:] = jnp.where(hit, idbuf, -1.0).astype(jnp.int32)
-    u_out_ref[:] = jnp.where(hit, ubuf, 0.0)
-    v_out_ref[:] = jnp.where(hit, vbuf, 0.0)
-    z_out_ref[:] = jnp.where(hit, zbuf, 0.0)
-    tu_out_ref[:] = jnp.where(hit, tubuf, 0.0)
-    tv_out_ref[:] = jnp.where(hit, tvbuf, 0.0)
-
-
-def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
-                              interpret: bool = False):
-    """(idbuf, u, v, z, tu, tv) from precomputed bins — one kernel pass,
-    no per-pixel gathers. (tu, tv) interpolate the aux uv-corner rows."""
-    ph, pw = pad_resolution(height, width)
-    gy, gx = ph // TILE_H, pw // TILE_W
-
-    img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(gy, gx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=[img(), img(), img(), img(), img(), img()],
-        scratch_shapes=[
-            pltpu.VMEM((2, 16, CHUNK), jnp.float32),   # double-buffered
-            pltpu.VMEM((2, 8, CHUNK), jnp.float32),    # double-buffered
-            pltpu.VMEM((16, MAX_GLOBAL), jnp.float32),
-            pltpu.VMEM((8, MAX_GLOBAL), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-
-    idbuf, u, v, z, tu, tv = pl.pallas_call(
-        functools.partial(_fused_kernel, gx),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((ph, pw), jnp.int32),
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
-        ],
-        interpret=interpret,
-    )(bins.bin_start, bins.n_global, bins.sorted_data_t, bins.global_data_t,
-      bins.sorted_aux_t, bins.global_aux_t)
-
-    return (idbuf[:height, :width], u[:height, :width],
-            v[:height, :width], z[:height, :width],
-            tu[:height, :width], tv[:height, :width])

@@ -35,12 +35,13 @@ BACKGROUND = 45.0 / 255.0  # reference fit.py:161
 @functools.partial(
     jax.jit,
     static_argnames=("resolution", "enable_mip", "max_mip_level", "impl",
-                     "aa_max_pairs"))
+                     "aa_max_pairs", "pair_cap"))
 def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
            tex: Array, resolution: Tuple[int, int], face_neighbors: Array,
            enable_mip: bool = False, max_mip_level: int = 0,
            impl: str = "auto", background: float = BACKGROUND,
-           aa_max_pairs: int | None = None) -> Array:
+           aa_max_pairs: int | None = None,
+           pair_cap: int | None = None) -> Array:
     """Render one view; differentiable w.r.t. pos, tex (and mvp).
 
     :param mvp: (4, 4) modelview-projection matrix.
@@ -63,31 +64,85 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
     if resolved_impl == "auto":
         resolved_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
+    from fpc_diffrend_tpu.ops.antialias import antialias_fused
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+        fits_resident, texture_pallas)
+
+    verts_img = neigh_img = None
     if enable_mip:
         # db (bary screen derivatives) is only consumed by mip filtering
-        rast, rast_db = rasterize(pos_clip, pos_idx, resolution, impl=impl,
-                                  with_db=True)
-        texc, texd = interpolate(uv, rast, uv_idx, rast_db=rast_db,
-                                 diff_attrs="all")
+        if resolved_impl == "pallas":
+            from fpc_diffrend_tpu.ops.rasterize import (
+                _pixel_db_from_data, _rasterize_pallas_full)
+
+            rast, texc, verts_img, neigh_img, data, idbuf = \
+                _rasterize_pallas_full(pos_clip, pos_idx, uv, uv_idx,
+                                       face_neighbors, resolution, False,
+                                       pair_cap)
+            # LOD selection only: held out of the gradient path (the
+            # gather chain's backward would be an image-sized scatter;
+            # documented deviation — nvdiffrast's optional mip-level
+            # gradients are negligible for this workload)
+            texd = jax.lax.stop_gradient(_bary_db_to_uv_da(
+                _pixel_db_from_data(data, idbuf, *resolution),
+                uv, uv_idx, rast))
+        else:
+            rast, rast_db = rasterize(pos_clip, pos_idx, resolution,
+                                      impl=impl, with_db=True)
+            texc, texd = interpolate(uv, rast, uv_idx, rast_db=rast_db,
+                                     diff_attrs="all")
         colour = texture(tex, texc, uv_da=texd,
                          filter_mode="linear-mipmap-linear",
                          max_mip_level=max_mip_level)
+    elif resolved_impl == "pallas":
+        from fpc_diffrend_tpu.ops.rasterize import _rasterize_pallas_full
+
+        rast, texc, verts_img, neigh_img, _data, _idbuf = \
+            _rasterize_pallas_full(pos_clip, pos_idx, uv, uv_idx,
+                                   face_neighbors, resolution, False,
+                                   pair_cap)
+        if fits_resident(tex.shape[0], tex.shape[1], tex.shape[-1], "wrap"):
+            # VMEM-resident matmul sampler (no gathers); wrap boundary
+            # matching nvdiffrast's default (reference fit.py:155)
+            colour = texture_pallas(tex, texc, "wrap", False)
+        else:
+            colour = texture(tex, texc, filter_mode="linear")
     else:
         from fpc_diffrend_tpu.ops.rasterize import rasterize_with_uv
 
         rast, texc = rasterize_with_uv(pos_clip, pos_idx, uv, uv_idx,
                                        resolution, impl=impl)
-        if resolved_impl == "pallas" and tex.shape[-1] == 1:
-            # tile-patch matmul sampler (no gathers); clamp boundary —
-            # identical to wrap for uv inside [0,1) away from the border
-            from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
-                texture_bilinear_pallas)
+        colour = texture(tex, texc, filter_mode="linear")
 
-            colour = texture_bilinear_pallas(tex, texc, False)
-        else:
-            colour = texture(tex, texc, filter_mode="linear")
-
-    colour = antialias(colour, rast, pos_clip, pos_idx, face_neighbors,
-                       max_pairs=aa_max_pairs)
+    if verts_img is not None:
+        # elementwise antialias from the fused winner payload: exact (no
+        # pair cap), no gathers, position gradients reduced by the Pallas
+        # gradient kernel
+        colour = antialias_fused(colour, rast, verts_img, neigh_img)
+    else:
+        colour = antialias(colour, rast, pos_clip, pos_idx, face_neighbors,
+                           max_pairs=aa_max_pairs)
     colour = jnp.where(rast[..., 3:] > 0, colour, background)
     return colour
+
+
+def _bary_db_to_uv_da(db: Array, uv: Array, uv_idx: Array,
+                      rast: Array) -> Array:
+    """(du/dx, du/dy, dv/dx, dv/dy) bary derivatives -> uv-space texd.
+
+    Mirrors ops.interpolate's diff_attrs='all' chain for the fused path:
+    texc = u*c0 + v*c1 + (1-u-v)*c2, so d texc/d screen = (c0-c2) du +
+    (c1-c2) dv. Held out of the gradient path (mip LOD selection only).
+    """
+    ids = jnp.maximum(rast[..., 3].astype(jnp.int32) - 1, 0)
+    corners = uv[uv_idx.astype(jnp.int32)]            # (T, 3, 2)
+    c = jax.lax.stop_gradient(corners[ids])           # (H, W, 3, 2)
+    d0 = c[..., 0, :] - c[..., 2, :]
+    d1 = c[..., 1, :] - c[..., 2, :]
+    du_dx, du_dy = db[..., 0], db[..., 1]
+    dv_dx, dv_dy = db[..., 2], db[..., 3]
+    ds_dx = d0[..., 0] * du_dx + d1[..., 0] * dv_dx
+    ds_dy = d0[..., 0] * du_dy + d1[..., 0] * dv_dy
+    dt_dx = d0[..., 1] * du_dx + d1[..., 1] * dv_dx
+    dt_dy = d0[..., 1] * du_dy + d1[..., 1] * dv_dy
+    return jnp.stack([ds_dx, ds_dy, dt_dx, dt_dy], axis=-1)

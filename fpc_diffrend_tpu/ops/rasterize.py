@@ -245,38 +245,6 @@ def pixel_attributes(pos_clip: Array, faces: Array, idbuf: Array,
 # Fused pixel evaluation with a Pallas backward (TPU production grad path)
 # ----------------------------------------------------------------------------
 
-def _pixel_eval_from_data(data: Array, idbuf: Array, height: int, width: int):
-    """(u, v, z, mask) per pixel from gathered 16-float triangle records.
-
-    Same math as pixel_attributes but in the edge-plane-coefficient
-    formulation shared with the Pallas kernels (records from
-    pallas.rasterize_tpu.triangle_setup).
-    """
-    ids = jnp.maximum(idbuf, 0)
-    mask = idbuf >= 0
-    rec = data[ids]                                   # (H, W, 16)
-    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5,
-                          (height, width))
-    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5,
-                          (height, width))
-    l0 = rec[..., 0] * px + rec[..., 1] * py + rec[..., 2]
-    l1 = rec[..., 3] * px + rec[..., 4] * py + rec[..., 5]
-    l2 = rec[..., 6] * px + rec[..., 7] * py + rec[..., 8]
-    z = rec[..., 9] * px + rec[..., 10] * py + rec[..., 11]
-    w0, w1, w2 = rec[..., 13], rec[..., 14], rec[..., 15]
-    d0 = l0 / jnp.where(jnp.abs(w0) > _W_EPS, w0, 1.0)
-    d1 = l1 / jnp.where(jnp.abs(w1) > _W_EPS, w1, 1.0)
-    d2 = l2 / jnp.where(jnp.abs(w2) > _W_EPS, w2, 1.0)
-    denom = d0 + d1 + d2
-    inv_denom = jnp.where(jnp.abs(denom) > _AREA_EPS,
-                          1.0 / jnp.where(jnp.abs(denom) > _AREA_EPS,
-                                          denom, 1.0), 0.0)
-    u = jnp.where(mask, d0 * inv_denom, 0.0)
-    v = jnp.where(mask, d1 * inv_denom, 0.0)
-    z = jnp.where(mask, z, 0.0)
-    return u, v, z, mask
-
-
 def _pixel_db_from_data(data: Array, idbuf: Array, height: int, width: int):
     """(H, W, 4) perspective-correct bary pixel derivatives from records.
 
@@ -329,64 +297,38 @@ def _zero_ct(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def pixel_eval_fused(data, idbuf, bins, height: int, width: int,
-                     interpret: bool):
-    """pixel_attributes with a Pallas-kernel backward (no pixel scatters).
-
-    :param data: (T, 16) triangle records (differentiable input).
-    :param bins: pallas.rasterize_tpu.Bins (stop-gradient residuals).
-    """
-    return _pixel_eval_from_data(data, idbuf, height, width)
-
-
-def _pixel_eval_fwd(data, idbuf, bins, height, width, interpret):
-    out = _pixel_eval_from_data(data, idbuf, height, width)
-    return out, (idbuf, bins, data.shape[0])
-
-
-def _pixel_eval_bwd(height, width, interpret, res, cts):
-    from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
-
-    idbuf, bins, n_tris = res
-    gu, gv, gz, _gmask = cts
-    grad_data, _ = pixel_grad_pallas(bins, idbuf, gu, gv, gz, n_tris,
-                                     height, width, interpret=interpret)
-    return (grad_data, _zero_ct(idbuf),
-            jax.tree.map(_zero_ct, bins))
-
-
-pixel_eval_fused.defvjp(_pixel_eval_fwd, _pixel_eval_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def rasterize_fused(data, uvrec, bins, height: int, width: int,
-                    interpret: bool):
-    """Fully fused rasterization + uv interpolation: one Pallas pass
-    yields (idbuf, u, v, z, mask, tu, tv) with no per-pixel gathers; the
-    backward is the Pallas gradient kernel. ``data`` (triangle records)
-    and ``uvrec`` (uv corner records) are the differentiable inputs; the
-    primal only reads them through the (stop-gradient) bins."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def rasterize_fused(data, aux, bins, height: int, width: int,
+                    interpret: bool, pair_cap: int | None = None):
+    """Fully fused rasterization: one Pallas pass yields the winning-id
+    buffer and a (N_PAYLOAD, H, W) payload [u v z tu tv x0 y0 x1 y1 x2 y2
+    n0 n1 n2] with no per-pixel gathers; the backward is the Pallas
+    gradient kernel. ``data`` (T, 16 triangle records) and ``aux``
+    (T, 16 aux records from pallas.rasterize_tpu.aux_records) are the
+    differentiable inputs; the primal only reads them through the
+    (stop-gradient) bins."""
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
         fused_rasterize_from_bins)
 
-    idbuf, u, v, z, tu, tv = fused_rasterize_from_bins(bins, height, width,
-                                                       interpret)
-    return idbuf, u, v, z, idbuf >= 0, tu, tv
+    idbuf, payload = fused_rasterize_from_bins(bins, height, width,
+                                               interpret)
+    return idbuf, payload
 
 
-def _rasterize_fused_fwd(data, uvrec, bins, height, width, interpret):
-    out = rasterize_fused(data, uvrec, bins, height, width, interpret)
+def _rasterize_fused_fwd(data, aux, bins, height, width, interpret,
+                         pair_cap=None):
+    out = rasterize_fused(data, aux, bins, height, width, interpret,
+                          pair_cap)
     return out, (out[0], bins, data.shape[0])
 
 
-def _rasterize_fused_bwd(height, width, interpret, res, cts):
+def _rasterize_fused_bwd(height, width, interpret, pair_cap, res, cts):
     from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
 
     idbuf, bins, n_tris = res
-    _gid, gu, gv, gz, _gmask, gtu, gtv = cts
+    _gid, gpayload = cts
     grad_data, grad_aux = pixel_grad_pallas(
-        bins, idbuf, gu, gv, gz, n_tris, height, width, gtu=gtu, gtv=gtv,
+        bins, idbuf, gpayload, n_tris, height, width, pair_cap=pair_cap,
         interpret=interpret)
     return (grad_data, grad_aux, jax.tree.map(_zero_ct, bins))
 
@@ -397,6 +339,39 @@ rasterize_fused.defvjp(_rasterize_fused_fwd, _rasterize_fused_bwd)
 # ----------------------------------------------------------------------------
 # Public API
 # ----------------------------------------------------------------------------
+
+def _rasterize_pallas_full(pos_clip: Array, faces: Array, uv, uv_idx,
+                           face_neighbors, resolution, interpret: bool,
+                           pair_cap: int | None = None):
+    """Fused Pallas rasterize + interpolate + antialias-input planes.
+
+    :return: (rast (H, W, 4), texc (H, W, 2), verts_img (H, W, 6),
+              neigh_img (H, W, 3), data (T, 16), idbuf)
+    """
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        aux_records, bin_scene)
+
+    height, width = resolution
+    faces = faces.astype(jnp.int32)
+    if uv is None:
+        uv = jnp.zeros((1, 2), jnp.float32)
+        uv_idx = jnp.zeros_like(faces)
+    aux = aux_records(uv, uv_idx.astype(jnp.int32), pos_clip, faces,
+                      face_neighbors, height, width)
+    data, bins = bin_scene(pos_clip, faces, height, width,
+                           aux=jax.lax.stop_gradient(aux))
+    bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
+    idbuf, payload = rasterize_fused(data, aux, bins_sg, height, width,
+                                     interpret, pair_cap)
+    mask = idbuf >= 0
+    u, v, z = payload[0], payload[1], payload[2]
+    idf = jnp.where(mask, (idbuf + 1).astype(jnp.float32), 0.0)
+    rast = jnp.stack([u, v, z, idf], axis=-1)
+    texc = jnp.stack([payload[3], payload[4]], axis=-1)
+    verts_img = jnp.moveaxis(payload[5:11], 0, -1)
+    neigh_img = jax.lax.stop_gradient(jnp.moveaxis(payload[11:14], 0, -1))
+    return rast, texc, verts_img, neigh_img, data, idbuf
+
 
 @functools.partial(jax.jit, static_argnames=("resolution", "impl", "with_db",
                                              "interpret"))
@@ -426,15 +401,13 @@ def rasterize(pos_clip: Array, faces: Array, resolution: Tuple[int, int],
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     if impl == "pallas":
-        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import bin_scene
-
-        data, bins = bin_scene(pos_clip, faces, height, width)
-        bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
-        uvrec0 = jnp.zeros((faces.shape[0], 8), jnp.float32)
-        idbuf, u, v, z, mask, _tu, _tv = rasterize_fused(
-            data, uvrec0, bins_sg, height, width, interpret)
+        rast, _texc, _verts, _neigh, data, idbuf = _rasterize_pallas_full(
+            pos_clip, faces, None, None, None, resolution, interpret)
         db = (_pixel_db_from_data(data, idbuf, height, width)
               if with_db else None)
+        if with_db:
+            return rast, db
+        return rast
     elif impl == "scan":
         idbuf = visibility_scan(jax.lax.stop_gradient(pos_clip), faces,
                                 height, width)
@@ -475,18 +448,8 @@ def rasterize_with_uv(pos_clip: Array, faces: Array, uv: Array,
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     if impl == "pallas":
-        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
-            bin_scene, uv_records)
-
-        uvrec = uv_records(uv, uv_idx.astype(jnp.int32))
-        data, bins = bin_scene(pos_clip, faces, height, width,
-                               aux=jax.lax.stop_gradient(uvrec))
-        bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
-        idbuf, u, v, z, mask, tu, tv = rasterize_fused(
-            data, uvrec, bins_sg, height, width, interpret)
-        idf = jnp.where(mask, (idbuf + 1).astype(jnp.float32), 0.0)
-        rast = jnp.stack([u, v, z, idf], axis=-1)
-        texc = jnp.stack([tu, tv], axis=-1)
+        rast, texc, _verts, _neigh, _data, _idbuf = _rasterize_pallas_full(
+            pos_clip, faces, uv, uv_idx, None, resolution, interpret)
         return rast, texc
 
     from fpc_diffrend_tpu.ops.interpolate import interpolate

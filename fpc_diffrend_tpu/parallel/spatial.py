@@ -66,11 +66,13 @@ def render_band(mvp: Array, pos: Array, pos_idx: Array, uv: Array,
         rast = rasterize(band_clip, pos_idx, tuple(band_resolution),
                          impl=impl, with_db=False)
         texc, _ = interpolate(uv, rast, uv_idx)
-        if resolved_impl == "pallas" and tex.shape[-1] == 1:
-            from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
-                texture_bilinear_pallas)
+        from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+            fits_resident, texture_pallas)
 
-            colour = texture_bilinear_pallas(tex, texc, False)
+        if (resolved_impl == "pallas"
+                and fits_resident(tex.shape[0], tex.shape[1],
+                                  tex.shape[-1], "wrap")):
+            colour = texture_pallas(tex, texc, "wrap", False)
         else:
             colour = texture(tex, texc, filter_mode="linear")
 

@@ -132,3 +132,70 @@ def test_compact_antialias_cap_overflow_drops_gracefully():
     # absurdly small cap: still finite, no crash, partial AA
     out = aa_fn(color, rast, pos, faces, neighbors, max_pairs=4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _winner_planes(pos, faces, neighbors, rast, H, W):
+    """Build the fused kernel's winner payload planes from scan outputs."""
+    from fpc_diffrend_tpu.ops.rasterize import screen_vertices
+
+    sv = screen_vertices(pos, W, H)
+    tri = sv[faces][:, :, :2].reshape(faces.shape[0], 6)     # (T, 6)
+    ids = rast[..., 3].astype(jnp.int32) - 1
+    safe = jnp.maximum(ids, 0)
+    verts_img = jnp.where((ids >= 0)[..., None], tri[safe], 0.0)
+    neigh_img = jnp.where((ids >= 0)[..., None],
+                          neighbors[safe].astype(jnp.float32), -1.0)
+    return verts_img, neigh_img
+
+
+def test_fused_antialias_matches_gather_antialias():
+    """antialias_fused (winner-plane formulation) == antialias, values and
+    vertex gradients, on a multi-triangle occlusion scene."""
+    from fpc_diffrend_tpu.ops.antialias import antialias_fused
+
+    rng = np.random.default_rng(3)
+    quads = []
+    faces_all = []
+    base = 0
+    for (cx, cy, z, s) in [(-0.2, 0.0, 0.2, 0.55), (0.25, 0.1, -0.3, 0.4),
+                           (0.0, -0.3, 0.0, 0.3)]:
+        pos = np.array([
+            [cx - s, cy - s, z, 1], [cx + s, cy - s, z, 1],
+            [cx + s, cy + s, z, 1], [cx - s, cy + s, z, 1]], np.float32)
+        quads.append(pos)
+        faces_all.append(np.array([[0, 1, 2], [0, 2, 3]], np.int32) + base)
+        base += 4
+    pos = jnp.asarray(np.concatenate(quads))
+    faces = np.concatenate(faces_all)
+    topo = objlib.build_topology(faces, pos.shape[0])
+    neighbors = jnp.asarray(topo.face_neighbors)
+    faces = jnp.asarray(faces)
+    H = W = 96
+    tex_colors = jnp.asarray(
+        rng.uniform(0.2, 1.0, size=(faces.shape[0],)).astype(np.float32))
+
+    def color_of(rast):
+        ids = rast[..., 3].astype(jnp.int32) - 1
+        return jnp.where((ids >= 0)[..., None],
+                         tex_colors[jnp.maximum(ids, 0)][..., None], 0.1)
+
+    def out_gather(p):
+        rast, _ = r.rasterize(p, faces, (H, W), impl="scan")
+        color = color_of(rast)
+        return antialias(color, rast, p, faces, neighbors)
+
+    def out_fused(p):
+        rast, _ = r.rasterize(p, faces, (H, W), impl="scan")
+        color = color_of(rast)
+        verts_img, neigh_img = _winner_planes(p, faces, neighbors, rast,
+                                              H, W)
+        return antialias_fused(color, rast, verts_img, neigh_img)
+
+    np.testing.assert_allclose(np.asarray(out_fused(pos)),
+                               np.asarray(out_gather(pos)), atol=1e-6)
+
+    gimg = jnp.asarray(rng.normal(size=(H, W, 1)).astype(np.float32))
+    g_gather = jax.grad(lambda p: jnp.sum(out_gather(p) * gimg))(pos)
+    g_fused = jax.grad(lambda p: jnp.sum(out_fused(p) * gimg))(pos)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_gather),
+                               rtol=1e-4, atol=1e-5)

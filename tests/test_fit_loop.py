@@ -179,3 +179,37 @@ def test_mip_pipeline_end_to_end(config, scene):
     g = jax.grad(loss)(gt_params["tex"])
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_train_steps_scan_dispatch(config, scene):
+    """k scanned steps per dispatch: runs, advances step count, and keeps
+    metrics finite with on-device sampling."""
+    gt_params, _ = make_gt_params(config, scene)
+    frames = jnp.asarray(render_take(config, scene, gt_params))
+    state = state_mod.init_state(config, gt_params)
+    key = jax.random.PRNGKey(0)
+    state2, metrics = fit_loop.train_steps(config, scene, state, frames,
+                                           key, 6, N_FRAMES)
+    assert int(state2.step) == 6
+    losses = np.asarray(metrics["loss"])
+    assert losses.shape == (6,)
+    assert np.isfinite(losses).all()
+
+
+def test_run_fit_scan_dispatch(config, scene):
+    gt_params, _ = make_gt_params(config, scene)
+    frames = jnp.asarray(render_take(config, scene, gt_params))
+    cfg = dataclasses.replace(config, steps_per_dispatch=4)
+    seen = []
+
+    def cb(i, st, metrics):
+        seen.append((i, float(metrics["loss"])))
+
+    init_params = dict(gt_params)
+    init_params["per_frame_t"] = jnp.zeros((N_FRAMES, 3), jnp.float32)
+    state = state_mod.init_state(cfg, init_params)
+    state = fit_loop.run_fit(cfg, scene, frames, N_FRAMES,
+                             callbacks=[cb], state=state, n_steps=8)
+    assert int(state.step) == 8
+    assert [i for i, _ in seen] == [3, 7]
+    assert all(np.isfinite(l) for _, l in seen)

@@ -1,0 +1,85 @@
+"""End-to-end fused-pipeline parity: render(impl='pallas') vs 'scan'.
+
+Runs the production TPU path (fused rasterize+interpolate kernel,
+VMEM-resident texture kernel, elementwise antialias, Pallas gradient
+kernel) under the Pallas interpreter and checks values and gradients
+against the pure-XLA scan path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fpc_diffrend_tpu.data import obj as objlib
+from fpc_diffrend_tpu.ops.pipeline import render
+from fpc_diffrend_tpu.utils.debugging import pallas_interpret_mode
+
+
+def scene(rng):
+    # deformed grid dome, the capture workload shape
+    n = 9
+    ys, xs = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n),
+                         indexing="ij")
+    z = 0.3 * np.exp(-(xs ** 2 + ys ** 2)) + 0.02 * rng.normal(size=xs.shape)
+    verts = np.stack([xs * 1.2, ys * 1.2, z], -1).reshape(-1, 3)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces.append([a, a + 1, a + n])
+            faces.append([a + 1, a + n + 1, a + n])
+    faces = np.asarray(faces, np.int32)
+    uv = (verts[:, :2] * 0.4 + 0.5).astype(np.float32)
+    topo = objlib.build_topology(faces, verts.shape[0])
+    mvp = np.eye(4, dtype=np.float32)
+    mvp[2, 3] = 0.0
+    return (jnp.asarray(mvp), jnp.asarray(verts.astype(np.float32)),
+            jnp.asarray(faces), jnp.asarray(uv), jnp.asarray(faces),
+            jnp.asarray(topo.face_neighbors))
+
+
+def test_fused_pipeline_matches_scan(rng):
+    mvp, verts, faces, uv, uv_idx, neigh = scene(rng)
+    tex = jnp.asarray(rng.uniform(size=(64, 128, 1)).astype(np.float32))
+    res = (48, 128)
+
+    img_scan = render(mvp, verts, faces, uv, uv_idx, tex, res, neigh,
+                      impl="scan", aa_max_pairs=None)
+    with pallas_interpret_mode():
+        img_pl = render(mvp, verts, faces, uv, uv_idx, tex, res, neigh,
+                        impl="pallas")
+    a = np.asarray(img_scan)
+    b = np.asarray(img_pl)
+    # coverage-edge pixels may disagree (float associativity in the two
+    # visibility formulations); the overwhelming majority must match
+    close = np.isclose(a, b, atol=2e-4)
+    assert close.mean() > 0.995, f"{(~close).sum()} of {close.size} differ"
+
+
+def test_fused_pipeline_gradients_match_scan(rng):
+    mvp, verts, faces, uv, uv_idx, neigh = scene(rng)
+    tex = jnp.asarray(rng.uniform(size=(64, 128, 1)).astype(np.float32))
+    res = (48, 128)
+    ref = jnp.asarray(rng.uniform(size=res + (1,)).astype(np.float32))
+
+    def loss(v, t, impl):
+        img = render(mvp, v, faces, uv, uv_idx, t, res, neigh, impl=impl,
+                     aa_max_pairs=None)
+        return jnp.mean((ref - img) ** 2)
+
+    gv_s, gt_s = jax.grad(lambda v, t: loss(v, t, "scan"),
+                          argnums=(0, 1))(verts, tex)
+    with pallas_interpret_mode():
+        gv_p, gt_p = jax.grad(lambda v, t: loss(v, t, "pallas"),
+                              argnums=(0, 1))(verts, tex)
+
+    # texture gradients: dense and smooth, must match tightly
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_s),
+                               atol=5e-5, rtol=5e-3)
+    # vertex gradients: small boundary-mode differences allowed (wrap vs
+    # wrap via different samplers is exact; visibility edge pixels differ)
+    gs = np.asarray(gv_s)
+    gp = np.asarray(gv_p)
+    denom = np.abs(gs).max()
+    assert np.abs(gp - gs).max() / denom < 0.02, (
+        np.abs(gp - gs).max(), denom)

@@ -70,14 +70,37 @@ def test_pallas_gradient_finite_difference(rng):
     idbuf = r.visibility_scan(pos, faces, *res)
 
     def loss(p):
-        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import bin_scene
-        data, bins = bin_scene(p, faces, *res)
-        bins = jax.tree.map(jax.lax.stop_gradient, bins)
-        u, v, z, mask = r.pixel_eval_fused(data, idbuf, bins, res[0], res[1],
-                                           True)
+        """XLA value path with frozen winner ids (differentiable)."""
+        u, v, z, mask = r.pixel_attributes(p, faces, idbuf, *res)
         return jnp.sum(u * 1.3) + jnp.sum(v * 0.7) + jnp.sum(z * 0.11)
 
-    g = np.asarray(jax.grad(loss)(pos))
+    def pallas_grad(p):
+        """The same cotangents pushed through the Pallas gradient kernel
+        exactly as rasterize_fused's custom VJP does."""
+        from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import (
+            pixel_grad_pallas)
+        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+            N_PAYLOAD, aux_records, bin_scene, triangle_setup)
+
+        def records(p):
+            data, _, _ = triangle_setup(p, faces, *res)
+            aux = aux_records(jnp.zeros((p.shape[0], 2)), faces, p, faces,
+                              None, res[0], res[1])
+            return data, aux
+
+        _, bins = bin_scene(p, faces, *res)
+        bins = jax.tree.map(jax.lax.stop_gradient, bins)
+        gpl = np.zeros((N_PAYLOAD,) + res, np.float32)
+        gpl[0] = 1.3
+        gpl[1] = 0.7
+        gpl[2] = np.where(np.asarray(idbuf) >= 0, 0.11, 0.0)
+        grad_data, grad_aux = pixel_grad_pallas(
+            bins, idbuf, jnp.asarray(gpl), faces.shape[0], *res,
+            interpret=True)
+        _, vjp = jax.vjp(records, p)
+        return vjp((grad_data, grad_aux))[0]
+
+    g = np.asarray(pallas_grad(pos))
     eps = 1e-3
     for (i, j) in [(0, 0), (1, 1), (2, 3), (0, 3), (1, 2)]:
         pp = pos_np.copy(); pp[i, j] += eps

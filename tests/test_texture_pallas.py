@@ -61,3 +61,73 @@ def test_footprint_overflow_clamps_not_crashes(rng):
     texc = smooth_uv(8, 128, rng, scale=3.0, offset=-1.0)  # wild uvs
     out = texture_bilinear_pallas(tex, texc, True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_forward_matches_xla_wrap(rng):
+    """Wrap boundary: incl. uvs outside [0,1) and seam-straddling tiles."""
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import texture_pallas
+
+    tex = jnp.asarray(rng.uniform(size=(128, 128, 1)).astype(np.float32))
+    # offset < 0: uv crosses the 0-seam; scale keeps per-tile footprints
+    # well under one wrap period (the kernel's contract)
+    texc = smooth_uv(16, 128, rng, scale=0.6, offset=-0.15)
+    want = texture(tex, texc, boundary_mode="wrap")
+    got = texture_pallas(tex, texc, "wrap", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_multichannel_forward_and_grads(rng):
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import texture_pallas
+
+    tex = jnp.asarray(rng.uniform(size=(128, 128, 3)).astype(np.float32))
+    texc = smooth_uv(16, 128, rng, scale=0.7, offset=0.15)
+    gimg = jnp.asarray(rng.normal(size=(16, 128, 3)).astype(np.float32))
+
+    want = texture(tex, texc, boundary_mode="clamp")
+    got = texture_pallas(tex, texc, "clamp", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def loss_xla(tex, texc):
+        return jnp.sum(texture(tex, texc, boundary_mode="clamp") * gimg)
+
+    def loss_pl(tex, texc):
+        return jnp.sum(texture_pallas(tex, texc, "clamp", True) * gimg)
+
+    gt_x, gc_x = jax.grad(loss_xla, argnums=(0, 1))(tex, texc)
+    gt_p, gc_p = jax.grad(loss_pl, argnums=(0, 1))(tex, texc)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_x),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_wrap_gradients_cross_seam(rng):
+    """Texture gradients accumulate across the wrap seam (apron fold)."""
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import texture_pallas
+
+    tex = jnp.asarray(rng.uniform(size=(64, 128, 1)).astype(np.float32))
+    texc = smooth_uv(8, 128, rng, scale=0.3, offset=-0.15)  # seam region
+    gimg = jnp.asarray(rng.normal(size=(8, 128, 1)).astype(np.float32))
+
+    def loss_xla(tex):
+        return jnp.sum(texture(tex, texc, boundary_mode="wrap") * gimg)
+
+    def loss_pl(tex):
+        return jnp.sum(texture_pallas(tex, texc, "wrap", True) * gimg)
+
+    gt_x = jax.grad(loss_xla)(tex)
+    gt_p = jax.grad(loss_pl)(tex)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x), atol=1e-4)
+
+
+def test_background_tiles_write_bg_sample(rng):
+    """Tiles with texc == 0 everywhere write the texc=(0,0) sample."""
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import texture_pallas
+
+    tex = jnp.asarray(rng.uniform(size=(64, 128, 1)).astype(np.float32))
+    texc = jnp.zeros((16, 128, 2), jnp.float32)
+    texc = texc.at[8:].set(smooth_uv(8, 128, rng, scale=0.5, offset=0.2))
+    for mode in ("clamp", "wrap"):
+        want = texture(tex, texc, boundary_mode=mode)
+        got = texture_pallas(tex, texc, mode, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
