@@ -272,46 +272,37 @@ def pad_resolution(height: int, width: int):
 
 _BIG = 3.0e38
 
+# extra per-pixel planes emitted for the backward kernel (the gradient
+# pass needs the winner's perspective weights and uv-corner differences;
+# emitting them here costs one HBM write and saves the backward from
+# streaming any triangle records at all)
+N_EXTRA = 8               # D iw0 iw1 iw2 du02 du12 dv02 dv12
 
-def _sub_candidates(at, rec_base, lo, hi, ti, x_row):
-    """Winner candidates for one record block against the whole tile.
 
-    ``at`` is an (n, REC) array of transposed records (n = SUB for binned
-    sub-blocks, CHUNK for global blocks; records on sublanes — Mosaic
-    only allows 128-aligned lane slices, so callers transpose the whole
-    chunk once and hand in 8-aligned sublane slices). Returns 16
-    (TILE_H, TILE_W) planes: z, id, then the N_PAYLOAD payload planes.
-    Pure vector ops: per tile row, (record, pixel) planes from
-    coefficient columns broadcast against the pixel-x row,
-    coverage-masked depth min-reduce.
+def _phasea_block(at, rec_base, lo, hi, ti, x_row):
+    """Phase-A winner candidates for one (n, REC) record block.
+
+    Evaluates only the coverage test and the depth plane — the cheapest
+    possible inner loop — and tracks the winning *bin-entry index* (exact
+    in f32 below 2^24) instead of any payload. Returns (z, idx) planes of
+    shape (TILE_H, TILE_W); idx is garbage wherever z == _BIG (discarded
+    by the strict-less merge).
     """
     a0 = at[:, 0:1]; b0 = at[:, 1:2]; c0 = at[:, 2:3]
     a1 = at[:, 3:4]; b1 = at[:, 4:5]; c1 = at[:, 5:6]
     a2 = at[:, 6:7]; b2 = at[:, 7:8]; c2 = at[:, 8:9]
     zx = at[:, 9:10]; zy = at[:, 10:11]; zc = at[:, 11:12]
-    tid = at[:, 12:13]
-    w0 = at[:, 13:14]; w1 = at[:, 14:15]; w2 = at[:, 15:16]
-    iw0 = 1.0 / jnp.where(jnp.abs(w0) > _W_EPS, w0, 1.0)
-    iw1 = 1.0 / jnp.where(jnp.abs(w1) > _W_EPS, w1, 1.0)
-    iw2 = 1.0 / jnp.where(jnp.abs(w2) > _W_EPS, w2, 1.0)
-    # aux payload columns: uv corners, screen corners, neighbors
-    payload_cols = [at[:, 16 + i:17 + i] for i in range(9 + 3)]
-    (cu0, cv0, cu1, cv1, cu2, cv2) = payload_cols[:6]
-    vert_neigh = payload_cols[6:]                         # x0..y2? see below
-    # columns 22..27 are x0 y0 x1 y1 x2 y2, 28..30 neighbors
-    verts = [at[:, 22 + i:23 + i] for i in range(6)]
-    neigh = [at[:, 28 + i:29 + i] for i in range(3)]
-    del vert_neigh
 
     n = at.shape[0]
     rec_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     rec = rec_base + rec_iota
     active = (rec >= lo) & (rec < hi)                     # (n, 1)
+    rec_f = rec.astype(jnp.float32)
 
-    rows = [[] for _ in range(2 + N_PAYLOAD)]
+    z_rows, i_rows = [], []
     for g in range(TILE_H):
         y = (ti * TILE_H + g).astype(jnp.float32) + 0.5   # scalar
-        l0 = a0 * x_row + (b0 * y + c0)                   # (SUB, 128)
+        l0 = a0 * x_row + (b0 * y + c0)                   # (n, 128)
         l1 = a1 * x_row + (b1 * y + c1)
         l2 = a2 * x_row + (b2 * y + c2)
         z = zx * x_row + (zy * y + zc)
@@ -319,65 +310,43 @@ def _sub_candidates(at, rec_base, lo, hi, ti, x_row):
                    & (z >= -1.0) & (z <= 1.0) & active)
         zm = jnp.where(covered, z, _BIG)
         zmin = jnp.min(zm, axis=0, keepdims=True)          # (1, 128)
-        idm = jnp.where(zm <= zmin, tid, _BIG)
-        idmin = jnp.min(idm, axis=0, keepdims=True)        # (1, 128)
-        # winner-select: tids are unique within a bin, but the chunk
-        # window may hold the same triangle binned for a neighboring
-        # tile — require coverage (includes the active mask) so exactly
-        # one row matches
-        eq = ((tid == idmin) & covered).astype(jnp.float32)
-        d0 = l0 * iw0
-        d1 = l1 * iw1
-        d2 = l2 * iw2
-        rD = 1.0 / jnp.where(jnp.abs(d0 + d1 + d2) > _AREA_EPS,
-                             d0 + d1 + d2, 1.0)
-        up = d0 * rD
-        vp = d1 * rD
-        # texc = u*c0 + v*c1 + (1-u-v)*c2
-        tu = up * (cu0 - cu2) + vp * (cu1 - cu2) + cu2
-        tv = up * (cv0 - cv2) + vp * (cv1 - cv2) + cv2
-
-        s = functools.partial(jnp.sum, axis=0, keepdims=True)
-        rows[0].append(zmin)
-        rows[1].append(idmin)
-        rows[2].append(s(eq * up))
-        rows[3].append(s(eq * vp))
-        rows[4].append(zmin)          # z payload (same plane, masked later)
-        rows[5].append(s(eq * tu))
-        rows[6].append(s(eq * tv))
-        for q in range(6):
-            rows[7 + q].append(s(eq * verts[q]))
-        for q in range(3):
-            rows[13 + q].append(s(eq * neigh[q]))
-
-    return [jnp.concatenate(r, axis=0) for r in rows]     # 16 x (8, 128)
+        # tie-break: lowest entry index == lowest triangle id (entries
+        # are sorted by (tile, tri) within a bin)
+        im = jnp.where(zm <= zmin, rec_f, _BIG)
+        imin = jnp.min(im, axis=0, keepdims=True)          # (1, 128)
+        z_rows.append(zmin)
+        i_rows.append(imin)
+    return (jnp.concatenate(z_rows, axis=0),
+            jnp.concatenate(i_rows, axis=0))               # 2 x (8, 128)
 
 
-def _merge_candidates(acc, cand):
-    """Merge one sub-block's candidate planes into the accumulator scratch.
-
-    acc is a VMEM ref of shape (2 + N_PAYLOAD, TILE_H, TILE_W) with
-    acc[0] = best z (init _BIG), acc[1] = winning id, acc[2:] = payload.
-    """
-    z_new = cand[0]
+def _merge_winner(acc, z_new, i_new):
+    """Strict-less z merge of one block's candidates into acc scratch
+    (acc[0] = best z, init _BIG; acc[1] = winning entry index)."""
     better = z_new < acc[0]
     acc[0] = jnp.where(better, z_new, acc[0])
-    for i in range(1, 2 + N_PAYLOAD):
-        acc[i] = jnp.where(better, cand[i], acc[i])
+    acc[1] = jnp.where(better, i_new, acc[1])
 
 
-def _fused_kernel(gx: int, n_tiles: int,
+def _fused_kernel(gx: int, n_tiles: int, gbase: int,
                   # scalar prefetch
                   bin_start_ref, n_global_ref, gblk_ty_ref,
                   # inputs
                   sorted_hbm, global_hbm,
                   # outputs
-                  id_out_ref, payload_out_ref,
+                  id_out_ref, entry_out_ref, payload_out_ref, extra_out_ref,
                   # scratch
-                  chunk_vmem, global_vmem, acc, dma_sem, global_sem):
-    """Visibility + perspective-correct attributes + winner payload in one
-    pass: rasterize, interpolate and the antialias-input planes with no
-    per-pixel gathers anywhere."""
+                  chunk_vmem, global_vmem, acc, fvm, dma_sem, global_sem):
+    """Two-phase fused rasterization.
+
+    Phase A streams the tile's bin and resolves only (depth, winning
+    entry index) — the minimal per-record work. Phase B streams the bin a
+    second time and *gathers* the winner's full 32-float record per pixel
+    with one-hot MXU matmuls (records x one-hot -> per-pixel fields), then
+    evaluates every payload plane densely once per tile. This keeps the
+    per-record inner loop at ~15 VPU ops and moves all payload math off
+    the (record x pixel) product entirely.
+    """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tile_idx = ti * gx + tj
@@ -399,13 +368,10 @@ def _fused_kernel(gx: int, n_tiles: int,
              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
              ).astype(jnp.float32) + 0.5                       # (1, 128)
 
-    # init accumulator: z = BIG, id = -1, payload = 0
+    # init accumulator: z = BIG, entry idx = -1 (matches nothing)
     acc[0] = jnp.full((TILE_H, TILE_W), _BIG)
     acc[1] = jnp.full((TILE_H, TILE_W), -1.0)
-    for i in range(2, 2 + N_PAYLOAD):
-        acc[i] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
-    # ---- binned records, double-buffered CHUNK-column streaming ----
     first_chunk = start // CHUNK
     n_chunks = jnp.where(count > 0,
                          (end - 1) // CHUNK - first_chunk + 1, 0)
@@ -416,11 +382,12 @@ def _fused_kernel(gx: int, n_tiles: int,
             sorted_hbm.at[:, pl.ds(col0, CHUNK)],
             chunk_vmem.at[slot], dma_sem.at[slot])
 
+    # ---- phase A: binned records, double-buffered streaming ----
     @pl.when(n_chunks > 0)
     def _():
         data_dma(0, 0).start()
 
-    def chunk_body(ci, _):
+    def chunk_a(ci, _):
         slot = jax.lax.rem(ci, 2)
         nxt = jax.lax.rem(ci + 1, 2)
 
@@ -437,14 +404,14 @@ def _fused_kernel(gx: int, n_tiles: int,
             @pl.when((sub_base < end) & (sub_base + SUB > start))
             def _():
                 at = at_full[sb * SUB:(sb + 1) * SUB, :]
-                cand = _sub_candidates(at, sub_base, start, end, ti,
-                                       x_row)
-                _merge_candidates(acc, cand)
+                zc_, ic_ = _phasea_block(at, sub_base, start, end, ti,
+                                         x_row)
+                _merge_winner(acc, zc_, ic_)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, n_chunks, chunk_a, 0)
 
-    # ---- global (oversized) triangles, row-range predicated ----
+    # ---- phase A: global (oversized) triangles, row-range predicated ----
     for gb in range(MAX_GLOBAL // CHUNK):
         blk_min = gblk_ty_ref[0, gb]
         blk_max = gblk_ty_ref[1, gb]
@@ -453,19 +420,122 @@ def _fused_kernel(gx: int, n_tiles: int,
                  & (ti <= blk_max))
         def _():
             at = global_vmem[:, pl.ds(gb * CHUNK, CHUNK)].T
-            cand = _sub_candidates(at, gb * CHUNK, 0, n_global, ti,
-                                   x_row)
-            _merge_candidates(acc, cand)
+            zc_, ic_ = _phasea_block(at, gbase + gb * CHUNK, gbase,
+                                     gbase + n_global, ti, x_row)
+            _merge_winner(acc, zc_, ic_)
 
-    hit = acc[0] < _BIG
-    id_out_ref[:] = jnp.where(hit, acc[1], -1.0).astype(jnp.int32)
-    # payload plane 2 (z) needs the background mask; others are already 0
-    # at misses by construction of the eq-sums
+    acci = acc[1]                                          # (8, 128)
+
+    # ---- phase B: gather the winner's record per pixel (MXU one-hot) ----
+    fvm[:] = jnp.zeros((TILE_H, REC, TILE_W), jnp.float32)
+
+    @pl.when(n_chunks > 0)
+    def _():
+        data_dma(0, 0).start()
+
+    def chunk_b(ci, _):
+        slot = jax.lax.rem(ci, 2)
+        nxt = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            data_dma(nxt, ci + 1).start()
+
+        data_dma(slot, ci).wait()
+        col0 = (first_chunk + ci) * CHUNK
+        chunk = chunk_vmem[slot]                          # (REC, CHUNK)
+        col_f = (col0 + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+                 ).astype(jnp.float32)
+        for g in range(TILE_H):
+            oh = (col_f == acci[g:g + 1, :]).astype(jnp.float32)
+            f_g = jax.lax.dot_general(
+                chunk, oh, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)       # (REC, TILE_W)
+            fvm[g] = fvm[g] + f_g
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_b, 0)
+
+    # ---- phase B: global list ----
+    for gb in range(MAX_GLOBAL // CHUNK):
+        blk_min = gblk_ty_ref[0, gb]
+        blk_max = gblk_ty_ref[1, gb]
+
+        @pl.when((gb * CHUNK < n_global) & (blk_min <= ti)
+                 & (ti <= blk_max))
+        def _():
+            gchunk = global_vmem[:, pl.ds(gb * CHUNK, CHUNK)]
+            col_f = (gbase + gb * CHUNK
+                     + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+                     ).astype(jnp.float32)
+            for g in range(TILE_H):
+                oh = (col_f == acci[g:g + 1, :]).astype(jnp.float32)
+                f_g = jax.lax.dot_general(
+                    gchunk, oh, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                fvm[g] = fvm[g] + f_g
+
+    # ---- dense payload evaluation from the gathered per-pixel records ----
+    accz = acc[0]
+    hit = accz < _BIG
+    pay_rows = [[] for _ in range(N_PAYLOAD)]
+    ext_rows = [[] for _ in range(N_EXTRA)]
+    tid_rows = []
+    for g in range(TILE_H):
+        F = fvm[g]                                         # (REC, 128)
+        f = lambda k: F[k:k + 1, :]                        # (1, 128)
+        y = (ti * TILE_H + g).astype(jnp.float32) + 0.5
+        l0 = f(0) * x_row + (f(1) * y + f(2))
+        l1 = f(3) * x_row + (f(4) * y + f(5))
+        l2 = f(6) * x_row + (f(7) * y + f(8))
+        iw0 = 1.0 / jnp.where(jnp.abs(f(13)) > _W_EPS, f(13), 1.0)
+        iw1 = 1.0 / jnp.where(jnp.abs(f(14)) > _W_EPS, f(14), 1.0)
+        iw2 = 1.0 / jnp.where(jnp.abs(f(15)) > _W_EPS, f(15), 1.0)
+        d0 = l0 * iw0
+        d1 = l1 * iw1
+        d2 = l2 * iw2
+        D = d0 + d1 + d2
+        rD = 1.0 / jnp.where(jnp.abs(D) > _AREA_EPS, D, 1.0)
+        up = d0 * rD
+        vp = d1 * rD
+        du02 = f(16) - f(20)
+        du12 = f(18) - f(20)
+        dv02 = f(17) - f(21)
+        dv12 = f(19) - f(21)
+        tu = up * du02 + vp * du12 + f(20)
+        tv = up * dv02 + vp * dv12 + f(21)
+
+        pay_rows[0].append(up)
+        pay_rows[1].append(vp)
+        pay_rows[2].append(up)        # placeholder; z written from accz
+        pay_rows[3].append(tu)
+        pay_rows[4].append(tv)
+        for q in range(6):
+            pay_rows[5 + q].append(f(22 + q))
+        for q in range(3):
+            pay_rows[11 + q].append(f(28 + q))
+        ext_rows[0].append(D)
+        ext_rows[1].append(iw0)
+        ext_rows[2].append(iw1)
+        ext_rows[3].append(iw2)
+        ext_rows[4].append(du02)
+        ext_rows[5].append(du12)
+        ext_rows[6].append(dv02)
+        ext_rows[7].append(dv12)
+        tid_rows.append(f(12))
+
     for i in range(N_PAYLOAD):
-        plane = acc[2 + i]
         if i == 2:
-            plane = jnp.where(hit, acc[0], 0.0)
-        payload_out_ref[i] = plane
+            payload_out_ref[i] = jnp.where(hit, accz, 0.0)
+        else:
+            payload_out_ref[i] = jnp.concatenate(pay_rows[i], axis=0)
+    for i in range(N_EXTRA):
+        extra_out_ref[i] = jnp.concatenate(ext_rows[i], axis=0)
+    tidp = jnp.concatenate(tid_rows, axis=0)
+    id_out_ref[:] = jnp.where(hit, tidp, -1.0).astype(jnp.int32)
+    entry_out_ref[:] = jnp.where(hit, acci, -1.0)
 
 
 # ----------------------------------------------------------------------------
@@ -491,14 +561,19 @@ def bin_scene(pos_clip: Array, faces: Array, height: int, width: int,
 
 def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
                               interpret: bool = False):
-    """(idbuf (H, W) i32, payload (N_PAYLOAD, H, W) f32) from precomputed
-    bins — one kernel pass, no per-pixel gathers. Payload planes:
-    [u, v, z, tu, tv, x0, y0, x1, y1, x2, y2, n0, n1, n2] of the winning
-    triangle per pixel ((tu, tv) interpolate the aux uv corners; the
-    screen-corner and neighbor planes feed the elementwise antialias)."""
+    """(idbuf (H, W) i32, payload (N_PAYLOAD, H, W) f32, entry (H, W) f32,
+    extra (N_EXTRA, H, W) f32) from precomputed bins — one kernel pass, no
+    per-pixel gathers. Payload planes: [u, v, z, tu, tv, x0, y0, x1, y1,
+    x2, y2, n0, n1, n2] of the winning triangle per pixel ((tu, tv)
+    interpolate the aux uv corners; the screen-corner and neighbor planes
+    feed the elementwise antialias). ``entry`` is the winner's bin-entry
+    index (global-list entries offset by P; -1 = background) and ``extra``
+    holds [D, iw0, iw1, iw2, du02, du12, dv02, dv12] — both consumed by
+    the Pallas gradient kernel, which then needs no record streaming."""
     ph, pw = pad_resolution(height, width)
     gy, gx = ph // TILE_H, pw // TILE_W
     n_tiles = gy * gx
+    gbase = int(bins.sorted_rec_t.shape[1])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -511,37 +586,44 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
             pl.BlockSpec((N_PAYLOAD, TILE_H, TILE_W),
+                         lambda i, j, *_: (0, i, j)),
+            pl.BlockSpec((N_EXTRA, TILE_H, TILE_W),
                          lambda i, j, *_: (0, i, j)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, REC, CHUNK), jnp.float32),   # double-buffered
             pltpu.VMEM((REC, MAX_GLOBAL), jnp.float32),  # persistent
-            pltpu.VMEM((2 + N_PAYLOAD, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((2, TILE_H, TILE_W), jnp.float32),  # z + entry idx
+            pltpu.VMEM((TILE_H, REC, TILE_W), jnp.float32),  # gathered
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
 
-    idbuf, payload = pl.pallas_call(
-        functools.partial(_fused_kernel, gx, n_tiles),
+    idbuf, entry, payload, extra = pl.pallas_call(
+        functools.partial(_fused_kernel, gx, n_tiles, gbase),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
+            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
             jax.ShapeDtypeStruct((N_PAYLOAD, ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((N_EXTRA, ph, pw), jnp.float32),
         ],
         interpret=interpret,
     )(bins.bin_start, bins.n_global, bins.gblk_ty,
       bins.sorted_rec_t, bins.global_rec_t)
 
-    return idbuf[:height, :width], payload[:, :height, :width]
+    return (idbuf[:height, :width], payload[:, :height, :width],
+            entry[:height, :width], extra[:, :height, :width])
 
 
 def visibility_from_bins(bins: "Bins", height: int, width: int,
                          interpret: bool = False) -> Array:
     """(H, W) int32 winning triangle ids from precomputed bins."""
-    idbuf, _ = fused_rasterize_from_bins(bins, height, width,
-                                         interpret=interpret)
+    idbuf = fused_rasterize_from_bins(bins, height, width,
+                                      interpret=interpret)[0]
     return idbuf
 
 

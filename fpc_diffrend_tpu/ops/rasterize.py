@@ -310,26 +310,30 @@ def rasterize_fused(data, aux, bins, height: int, width: int,
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
         fused_rasterize_from_bins)
 
-    idbuf, payload = fused_rasterize_from_bins(bins, height, width,
-                                               interpret)
+    idbuf, payload, _entry, _extra = fused_rasterize_from_bins(
+        bins, height, width, interpret)
     return idbuf, payload
 
 
 def _rasterize_fused_fwd(data, aux, bins, height, width, interpret,
                          pair_cap=None):
-    out = rasterize_fused(data, aux, bins, height, width, interpret,
-                          pair_cap)
-    return out, (out[0], bins, data.shape[0])
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        fused_rasterize_from_bins)
+
+    idbuf, payload, entry, extra = fused_rasterize_from_bins(
+        bins, height, width, interpret)
+    res = (entry, payload[0], payload[1], extra, bins, data.shape[0])
+    return (idbuf, payload), res
 
 
 def _rasterize_fused_bwd(height, width, interpret, pair_cap, res, cts):
     from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
 
-    idbuf, bins, n_tris = res
+    entry, u, v, extra, bins, n_tris = res
     _gid, gpayload = cts
     grad_data, grad_aux = pixel_grad_pallas(
-        bins, idbuf, gpayload, n_tris, height, width, pair_cap=pair_cap,
-        interpret=interpret)
+        bins, entry, u, v, extra, gpayload, n_tris, height, width,
+        pair_cap=pair_cap, interpret=interpret)
     return (grad_data, grad_aux, jax.tree.map(_zero_ct, bins))
 
 

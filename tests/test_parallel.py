@@ -124,3 +124,96 @@ def test_sharded_step_matches_single_device(setup, shape, axes):
         np.testing.assert_allclose(
             np.asarray(new_state.params[k]), np.asarray(ref_state.params[k]),
             atol=5e-5, err_msg=k)
+
+
+def _all_reduce_elems(hlo_text):
+    """Total f32 elements moved by all-reduce ops in an HLO dump."""
+    import re
+
+    total = 0
+    for line in hlo_text.splitlines():
+        if ("all-reduce(" not in line and "all-reduce-start(" not in line):
+            continue
+        if "=" not in line:
+            continue
+        # shapes sit between '=' and the op name: `%x = (f32[..], ..)
+        # all-reduce(...)`; the op's own name may also contain the string
+        head = line.split("=", 1)[1].split(" all-reduce", 1)[0]
+        for m in re.finditer(r"f32\[([0-9,]*)\]", head):
+            n = 1
+            for d in m.group(1).split(","):
+                if d:
+                    n *= int(d)
+            total += n
+    return total
+
+
+def test_frame_sharded_step_matches_single_device(setup):
+    """shard_frames=True: per-frame params/opt-state live on their frame
+    shard, gradients skip the 'frame' psum, temporal halo via ppermute —
+    and one step still matches the single-device step exactly."""
+    import dataclasses
+
+    scene, config, params = setup
+    config = dataclasses.replace(config, weight_temporal=0.5)
+    params = dict(params)
+    params["per_frame_t"] = jnp.asarray(
+        np.array([[0.1, -0.1, 0], [-0.1, 0.1, 0]], np.float32))
+
+    # stratified batch: shard 0 gets frame 0, shard 1 gets frame 1
+    rng = np.random.default_rng(3)
+    cam = jnp.asarray(rng.integers(0, N_CAMS, 8).astype(np.int32))
+    frame = jnp.asarray(np.array([0] * 4 + [1] * 4, np.int32))
+    refs = []
+    for c, f in zip(np.asarray(cam), np.asarray(frame)):
+        img, _ = fit_loop.render_sample(config, scene, params,
+                                        jnp.int32(c), jnp.int32(f))
+        refs.append(np.asarray(img[..., 0]))
+    batch = fit_loop.Batch(cam_idx=cam, frame_idx=frame,
+                           ref=jnp.asarray(np.stack(refs))[..., None] * 255.0)
+
+    # step from a state away from the optimum (gradients at the optimum
+    # are float noise and Adam would amplify their unstable signs)
+    params["per_frame_t"] = jnp.zeros((N_FRAMES, 3), jnp.float32)
+
+    state0 = state_mod.init_state(config, {k: jnp.array(v)
+                                           for k, v in params.items()})
+    ref_state, ref_metrics = fit_loop.train_step(config, scene, state0, batch)
+
+    mesh = mesh_mod.make_mesh(("frame", "view", "tile"), (2, 2, 2))
+    params0 = {k: jnp.array(v) for k, v in params.items()}
+    step_fn = ptrain.make_sharded_train_step(config, scene, mesh,
+                                             shard_frames=True,
+                                             params_like=params0)
+    state1 = state_mod.init_state(config, params0)
+    sbatch = ptrain.shard_batch_for(mesh, batch)
+    new_state, metrics = step_fn(state1, sbatch)
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-4)
+    for k in ("per_frame_t", "per_frame_q", "maps", "m1", "tex", "q_opt"):
+        np.testing.assert_allclose(
+            np.asarray(new_state.params[k]), np.asarray(ref_state.params[k]),
+            atol=5e-5, err_msg=k)
+
+    # the frame-sharded step must all-reduce strictly fewer elements than
+    # the replicated-parameter step (per-frame grads skip the 'frame' psum)
+    repl_fn = ptrain.make_sharded_train_step(config, scene, mesh)
+    state2 = state_mod.init_state(config, {k: jnp.array(v)
+                                           for k, v in params.items()})
+    hlo_sharded = step_fn.lower(state1, sbatch).compile().as_text()
+    hlo_repl = repl_fn.lower(state2, sbatch).compile().as_text()
+    assert _all_reduce_elems(hlo_sharded) < _all_reduce_elems(hlo_repl), (
+        _all_reduce_elems(hlo_sharded), _all_reduce_elems(hlo_repl))
+
+
+def test_sample_stratified_ranges(setup):
+    scene, config, params = setup
+    mesh = mesh_mod.make_mesh(("frame", "view"), (2, 4))
+    rng = np.random.default_rng(0)
+    cams, frames = ptrain.sample_stratified(rng, config, mesh,
+                                            n_frames=2, n_cams=N_CAMS)
+    assert cams.shape == (config.batch_size,)
+    per = config.batch_size // 2
+    assert np.all(np.asarray(frames[:per]) == 0)
+    assert np.all(np.asarray(frames[per:]) == 1)

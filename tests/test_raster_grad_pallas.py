@@ -66,8 +66,13 @@ def test_pallas_gradient_finite_difference(rng):
     res = (48, 48)
     pos = jnp.asarray(pos_np)
 
-    # hold ids fixed for FD (coverage gradients live in antialias)
-    idbuf = r.visibility_scan(pos, faces, *res)
+    # hold ids fixed for FD (coverage gradients live in antialias); use
+    # the Pallas kernel's own coverage so the FD loss and the kernel
+    # agree on knife-edge pixels
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        bin_scene as _bsc, visibility_from_bins as _vfb)
+
+    idbuf = _vfb(_bsc(pos, faces, *res)[1], *res, interpret=True)
 
     def loss(p):
         """XLA value path with frozen winner ids (differentiable)."""
@@ -80,7 +85,8 @@ def test_pallas_gradient_finite_difference(rng):
         from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import (
             pixel_grad_pallas)
         from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
-            N_PAYLOAD, aux_records, bin_scene, triangle_setup)
+            N_PAYLOAD, aux_records, bin_scene, fused_rasterize_from_bins,
+            triangle_setup)
 
         def records(p):
             data, _, _ = triangle_setup(p, faces, *res)
@@ -90,13 +96,15 @@ def test_pallas_gradient_finite_difference(rng):
 
         _, bins = bin_scene(p, faces, *res)
         bins = jax.tree.map(jax.lax.stop_gradient, bins)
+        _idb, payload, entry, extra = fused_rasterize_from_bins(
+            bins, *res, interpret=True)
         gpl = np.zeros((N_PAYLOAD,) + res, np.float32)
         gpl[0] = 1.3
         gpl[1] = 0.7
         gpl[2] = np.where(np.asarray(idbuf) >= 0, 0.11, 0.0)
         grad_data, grad_aux = pixel_grad_pallas(
-            bins, idbuf, jnp.asarray(gpl), faces.shape[0], *res,
-            interpret=True)
+            bins, entry, payload[0], payload[1], extra, jnp.asarray(gpl),
+            faces.shape[0], *res, interpret=True)
         _, vjp = jax.vjp(records, p)
         return vjp((grad_data, grad_aux))[0]
 
