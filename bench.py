@@ -92,6 +92,10 @@ def main():
     params = state_mod.init_params(config, n_frames, scene.v_base.shape[0],
                                    scene.deltas.shape[1], tex,
                                    scene.n_cameras)
+    if jax.default_backend() == "tpu":
+        from fpc_diffrend_tpu.fit import api as fit_api
+
+        config = fit_api.autotune_caps(config, scene, params)
     state = state_mod.init_state(config, params)
     frames_u8 = jnp.asarray(
         rng.integers(0, 140, size=(n_cams, n_frames, H, W)).astype(np.uint8))

@@ -185,8 +185,19 @@ class Bins(NamedTuple):
 
 
 def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
-                  height: int, width: int, aux: Array) -> "Bins":
-    """Group triangles by tile via one int32 key sort."""
+                  height: int, width: int, aux: Array,
+                  entry_cap: int | None = None) -> "Bins":
+    """Group triangles by tile via one int32 key sort.
+
+    :param entry_cap: static bound on live bin entries. Valid entries are
+        a sorted prefix, so slicing to the cap before the record gather
+        shrinks the gather, the gradient-kernel output and the backward
+        segment fold from T*WINDOW entries (~8x the live count) to the
+        cap. Size it via ``raster_stats`` (fit.api.autotune_caps uses
+        1.5x the measured count); entries beyond the cap would be dropped
+        from the render, which the fit loop's periodic health check
+        detects.
+    """
     T = data.shape[0]
     gx = (width + TILE_W - 1) // TILE_W
     gy = (height + TILE_H - 1) // TILE_H
@@ -214,6 +225,10 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
                                tile_ids.shape)
     keys = (tile_ids * T + tri_ids).reshape(-1)
     keys = jnp.sort(keys)
+    if entry_cap is not None and entry_cap < keys.shape[0]:
+        cap = max(int(entry_cap), 1)
+        cap = (cap + CHUNK - 1) // CHUNK * CHUNK
+        keys = keys[:min(cap, keys.shape[0])]
     sorted_tile = keys // T
     sorted_tri = keys % T
 
@@ -543,11 +558,12 @@ def _fused_kernel(gx: int, n_tiles: int, gbase: int,
 # ----------------------------------------------------------------------------
 
 def bin_scene(pos_clip: Array, faces: Array, height: int, width: int,
-              aux: Array | None = None):
+              aux: Array | None = None, entry_cap: int | None = None):
     """Triangle setup + binning for a render target; shared between the
     visibility and gradient kernels.
 
     :param aux: optional (T, 16) auxiliary rows (see aux_records).
+    :param entry_cap: see bin_triangles.
     :return: (data (T, 16), Bins)
     """
     ph, pw = pad_resolution(height, width)
@@ -555,7 +571,8 @@ def bin_scene(pos_clip: Array, faces: Array, height: int, width: int,
                                             height, width)
     if aux is None:
         aux = jnp.zeros((faces.shape[0], 16), jnp.float32)
-    bins = bin_triangles(data, tile_bbox, valid, ph, pw, aux=aux)
+    bins = bin_triangles(data, tile_bbox, valid, ph, pw, aux=aux,
+                         entry_cap=entry_cap)
     return data, bins
 
 

@@ -362,8 +362,12 @@ def _rasterize_pallas_full(pos_clip: Array, faces: Array, uv, uv_idx,
         uv_idx = jnp.zeros_like(faces)
     aux = aux_records(uv, uv_idx.astype(jnp.int32), pos_clip, faces,
                       face_neighbors, height, width)
+    # pair_cap doubles as the bin-entry capacity: valid entries are a
+    # sorted prefix, so capping here shrinks the record gather, the
+    # gradient-kernel output and the segment fold together.
     data, bins = bin_scene(pos_clip, faces, height, width,
-                           aux=jax.lax.stop_gradient(aux))
+                           aux=jax.lax.stop_gradient(aux),
+                           entry_cap=pair_cap)
     bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
     idbuf, payload = rasterize_fused(data, aux, bins_sg, height, width,
                                      interpret, pair_cap)
