@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--cams", type=int, default=9)
     ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="samples per step (1 = reference-style serial SGD)")
     ap.add_argument("--workdir", default="")
     args = ap.parse_args()
 
@@ -117,7 +119,7 @@ def main():
         out_dir=os.path.join(work, "out"), resolution=res,
         texshape=(256, 256, 1), mode="prior",
         cam_idxs=tuple(range(len(calib_names))),
-        batch_size=8, log_interval=max(1, args.steps // 10),
+        batch_size=args.batch, log_interval=max(1, args.steps // 10),
         weight_laplacian=10.0)
     import dataclasses
     config = dataclasses.replace(config, texpath=os.path.join(work, "texture.png"))

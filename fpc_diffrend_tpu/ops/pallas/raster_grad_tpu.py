@@ -90,59 +90,17 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
         pend_idx[0] = -1
         gglob_vmem[:] = jnp.zeros((REC, MAX_GLOBAL), jnp.float32)
 
-    # ---- dense per-pixel gradient-coefficient planes, once per tile ----
-    x = (tj * TILE_W
-         + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
-         ).astype(jnp.float32) + 0.5                       # (1, 128)
-    y = (ti * TILE_H
-         + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1), 0)
-         ).astype(jnp.float32) + 0.5                       # (8, 1)
+    # does any global (oversized) triangle block touch this tile row?
+    any_glob = n_global < 0  # False, as a traced bool
+    for gb in range(MAX_GLOBAL // CHUNK):
+        any_glob = any_glob | ((gb * CHUNK < n_global)
+                               & (gblk_ty_ref[0, gb] <= ti)
+                               & (ti <= gblk_ty_ref[1, gb]))
+    work = (count > 0) | any_glob
 
-    u = u_ref[:]
-    v = v_ref[:]
-    D = extra_ref[0]
-    iw0 = extra_ref[1]
-    iw1 = extra_ref[2]
-    iw2 = extra_ref[3]
-    du02 = extra_ref[4]
-    du12 = extra_ref[5]
-    dv02 = extra_ref[6]
-    dv12 = extra_ref[7]
-    gu_in = gpl_ref[0]
-    gv_in = gpl_ref[1]
-    gz = gpl_ref[2]
-    gtu = gpl_ref[3]
-    gtv = gpl_ref[4]
-
-    d0 = u * D
-    d1 = v * D
-    d2 = D - d0 - d1
-    gu = gu_in + gtu * du02 + gtv * dv02
-    gv = gv_in + gtu * du12 + gtv * dv12
-    rD = 1.0 / jnp.where(jnp.abs(D) > _AREA_EPS, D, 1.0)
-    S = (gu * d0 + gv * d1) * rD * rD
-    gd0 = gu * rD - S
-    gd1 = gv * rD - S
-    gd2 = -S
-    gl0 = gd0 * iw0
-    gl1 = gd1 * iw1
-    gl2 = gd2 * iw2
-    wp = 1.0 - u - v
-    zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    C = [gl0 * x, gl0 * y, gl0,
-         gl1 * x, gl1 * y, gl1,
-         gl2 * x, gl2 * y, gl2,
-         gz * x, gz * y, gz,
-         zero,
-         -gd0 * d0 * iw0, -gd1 * d1 * iw1, -gd2 * d2 * iw2,
-         gtu * u, gtv * u, gtu * v, gtv * v, gtu * wp, gtv * wp,
-         gpl_ref[5], gpl_ref[6], gpl_ref[7],
-         gpl_ref[8], gpl_ref[9], gpl_ref[10],
-         zero, zero, zero, zero]                           # 32 x (8, 128)
-
-    # re-layout per tile row: cr_vmem[g] (REC, 128px) with C_k on sublanes
-    for g in range(TILE_H):
-        cr_vmem[g] = jnp.concatenate([c[g:g + 1, :] for c in C], axis=0)
+    @pl.when(work)
+    def _build_coeff_planes():
+        _grad_coeff_planes(ti, tj, u_ref, v_ref, extra_ref, gpl_ref, cr_vmem)
 
     entry = entry_ref[:]                                   # (8, 128) f32
 
@@ -227,6 +185,62 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
         gw = pltpu.make_async_copy(gglob_vmem, gglob_out_hbm, global_sem)
         gw.start()
         gw.wait()
+
+
+def _grad_coeff_planes(ti, tj, u_ref, v_ref, extra_ref, gpl_ref, cr_vmem):
+    """Dense per-pixel gradient-coefficient planes -> cr_vmem rows."""
+    x = (tj * TILE_W
+         + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+         ).astype(jnp.float32) + 0.5                       # (1, 128)
+    y = (ti * TILE_H
+         + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1), 0)
+         ).astype(jnp.float32) + 0.5                       # (8, 1)
+
+    u = u_ref[:]
+    v = v_ref[:]
+    D = extra_ref[0]
+    iw0 = extra_ref[1]
+    iw1 = extra_ref[2]
+    iw2 = extra_ref[3]
+    du02 = extra_ref[4]
+    du12 = extra_ref[5]
+    dv02 = extra_ref[6]
+    dv12 = extra_ref[7]
+    gu_in = gpl_ref[0]
+    gv_in = gpl_ref[1]
+    gz = gpl_ref[2]
+    gtu = gpl_ref[3]
+    gtv = gpl_ref[4]
+
+    d0 = u * D
+    d1 = v * D
+    d2 = D - d0 - d1
+    gu = gu_in + gtu * du02 + gtv * dv02
+    gv = gv_in + gtu * du12 + gtv * dv12
+    rD = 1.0 / jnp.where(jnp.abs(D) > _AREA_EPS, D, 1.0)
+    S = (gu * d0 + gv * d1) * rD * rD
+    gd0 = gu * rD - S
+    gd1 = gv * rD - S
+    gd2 = -S
+    gl0 = gd0 * iw0
+    gl1 = gd1 * iw1
+    gl2 = gd2 * iw2
+    wp = 1.0 - u - v
+    zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    C = [gl0 * x, gl0 * y, gl0,
+         gl1 * x, gl1 * y, gl1,
+         gl2 * x, gl2 * y, gl2,
+         gz * x, gz * y, gz,
+         zero,
+         -gd0 * d0 * iw0, -gd1 * d1 * iw1, -gd2 * d2 * iw2,
+         gtu * u, gtv * u, gtu * v, gtv * v, gtu * wp, gtv * wp,
+         gpl_ref[5], gpl_ref[6], gpl_ref[7],
+         gpl_ref[8], gpl_ref[9], gpl_ref[10],
+         zero, zero, zero, zero]                           # 32 x (8, 128)
+
+    # re-layout per tile row: cr_vmem[g] (REC, 128px) with C_k on sublanes
+    for g in range(TILE_H):
+        cr_vmem[g] = jnp.concatenate([c[g:g + 1, :] for c in C], axis=0)
 
 
 def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,

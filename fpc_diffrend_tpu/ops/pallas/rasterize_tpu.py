@@ -378,6 +378,39 @@ def _fused_kernel(gx: int, n_tiles: int, gbase: int,
         dma.start()
         dma.wait()
 
+    # does any global (oversized) triangle block touch this tile row?
+    any_glob = n_global < 0  # False, as a traced bool
+    for gb in range(MAX_GLOBAL // CHUNK):
+        any_glob = any_glob | ((gb * CHUNK < n_global)
+                               & (gblk_ty_ref[0, gb] <= ti)
+                               & (ti <= gblk_ty_ref[1, gb]))
+    work = (count > 0) | any_glob
+
+    # fast path: empty tile — constant outputs, skip both phases entirely
+    @pl.when(jnp.logical_not(work))
+    def _():
+        id_out_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+        entry_out_ref[:] = jnp.full((TILE_H, TILE_W), -1.0)
+        for i in range(N_PAYLOAD):
+            payload_out_ref[i] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        for i in range(N_EXTRA):
+            extra_out_ref[i] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    @pl.when(work)
+    def _do_tile():
+        _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
+                         gblk_ty_ref, sorted_hbm,
+                         id_out_ref, entry_out_ref, payload_out_ref,
+                         extra_out_ref, chunk_vmem, global_vmem, acc, fvm,
+                         dma_sem)
+
+
+def _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
+                     gblk_ty_ref, sorted_hbm,
+                     id_out_ref, entry_out_ref, payload_out_ref,
+                     extra_out_ref, chunk_vmem, global_vmem, acc, fvm,
+                     dma_sem):
+    """Both kernel phases + payload resolve for one non-empty tile."""
     # x along lanes (shared by all tile rows).
     x_row = (tj * TILE_W
              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
@@ -444,7 +477,11 @@ def _fused_kernel(gx: int, n_tiles: int, gbase: int,
     # ---- phase B: gather the winner's record per pixel (MXU one-hot) ----
     fvm[:] = jnp.zeros((TILE_H, REC, TILE_W), jnp.float32)
 
-    @pl.when(n_chunks > 0)
+    # bins spanning <= 2 chunks (the typical case) are still resident in
+    # the double buffer from phase A — skip the re-DMA entirely
+    cached = n_chunks <= 2
+
+    @pl.when((n_chunks > 0) & jnp.logical_not(cached))
     def _():
         data_dma(0, 0).start()
 
@@ -452,11 +489,14 @@ def _fused_kernel(gx: int, n_tiles: int, gbase: int,
         slot = jax.lax.rem(ci, 2)
         nxt = jax.lax.rem(ci + 1, 2)
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(jnp.logical_not(cached))
         def _():
-            data_dma(nxt, ci + 1).start()
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                data_dma(nxt, ci + 1).start()
 
-        data_dma(slot, ci).wait()
+            data_dma(slot, ci).wait()
+
         col0 = (first_chunk + ci) * CHUNK
         chunk = chunk_vmem[slot]                          # (REC, CHUNK)
         col_f = (col0 + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)

@@ -60,6 +60,8 @@ RESIDENT_LIMIT = 7 * 2 ** 20
 # the resident-texture design (texture + grad accumulator + weight
 # intermediates) exceeds at 1024^2 — raise it explicitly.
 VMEM_LIMIT = 96 * 2 ** 20
+# Mosaic supports only DEFAULT (bf16, ~4e-3 relative — too lossy for
+# texel-exact parity) and HIGHEST (fp32 contract) dot precision.
 PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -257,13 +259,15 @@ def _fwd_kernel(C: int, gx: int, n_tiles: int,
     def _():
         t0 = pl.multiple_of(t0_ref[tile], TILE_H)
         c0 = pl.multiple_of(c0_ref[tile], TILE_W)
+        patches = [tex_vmem[c, pl.ds(t0, PATCH_H), pl.ds(c0, PATCH_W)]
+                   for c in range(C)]                   # loop-invariant
         rows = [[] for _ in range(C)]
         for r in range(TILE_H):
             wx = _wrow(ls_ref[r:r + 1, :], PATCH_W)     # (PW, 128)
             wy = _wrow(lt_ref[r:r + 1, :], PATCH_H)     # (PH, 128)
             for c in range(C):
-                patch = tex_vmem[c, pl.ds(t0, PATCH_H), pl.ds(c0, PATCH_W)]
-                b = jnp.dot(patch, wx, preferred_element_type=jnp.float32,
+                b = jnp.dot(patches[c], wx,
+                            preferred_element_type=jnp.float32,
                             precision=PRECISION)        # (PH, 128)
                 rows[c].append(jnp.sum(wy * b, axis=0, keepdims=True))
         for c in range(C):
@@ -301,6 +305,8 @@ def _bwd_kernel(C: int, gx: int, n_tiles: int,
     def _():
         t0 = pl.multiple_of(t0_ref[tile], TILE_H)
         c0 = pl.multiple_of(c0_ref[tile], TILE_W)
+        patches = [tex_vmem[c, pl.ds(t0, PATCH_H), pl.ds(c0, PATCH_W)]
+                   for c in range(C)]                   # loop-invariant
         gs_rows = []
         gt_rows = []
         gpatches = [jnp.zeros((PATCH_H, PATCH_W), jnp.float32)
@@ -316,15 +322,16 @@ def _bwd_kernel(C: int, gx: int, n_tiles: int,
             gt_acc = jnp.zeros((1, TILE_W), jnp.float32)
             for c in range(C):
                 g = g_refs[c][r:r + 1, :]               # (1, 128)
-                patch = tex_vmem[c, pl.ds(t0, PATCH_H), pl.ds(c0, PATCH_W)]
                 # texture gradient: gpatch += (wy * g) @ wx^T
                 gpatches[c] = gpatches[c] + jax.lax.dot_general(
                     wy * g, wx, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=PRECISION)
                 # coordinate gradients
-                b = jnp.dot(patch, wx, preferred_element_type=jnp.float32,
+                b = jnp.dot(patches[c], wx,
+                            preferred_element_type=jnp.float32,
                             precision=PRECISION)        # (PH, 128)
-                b2 = jnp.dot(patch, dwx, preferred_element_type=jnp.float32,
+                b2 = jnp.dot(patches[c], dwx,
+                             preferred_element_type=jnp.float32,
                              precision=PRECISION)
                 gs_acc += jnp.sum(wy * b2, axis=0, keepdims=True) * g
                 gt_acc += jnp.sum(dwy * b, axis=0, keepdims=True) * g
