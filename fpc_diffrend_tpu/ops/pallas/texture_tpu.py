@@ -51,8 +51,16 @@ Array = jnp.ndarray
 TILE_H = 8
 TILE_W = 128
 NPIX = TILE_H * TILE_W
-PATCH_H = 64           # texture patch rows per tile (8-aligned)
+PATCH_H = 64           # per-tile texture footprint bound in rows (8-aligned)
 PATCH_W = 256          # texture patch cols (two lane tiles; 128-aligned)
+# Texel rows matmul'd per PIXEL row: one image row's 128 pixels span few
+# texel rows (plus 8-aligned origin slack and the bilinear +1), so the
+# patch matmuls contract (SUB_H, PATCH_W) sub-patches instead of the
+# full (PATCH_H, PATCH_W) patch — a ~2.7x FLOP cut on the MXU-dominant
+# stage. Rows whose footprint exceeds SUB_H - 9 clamp, the same bound
+# doctrine as the per-tile patch (which clamps at PATCH_H - 2); textures
+# of height <= 16 (after the wrap seam remap) are always exact.
+SUB_H = 24
 # Max bytes of (extended, all-channel) texture held resident in VMEM.
 # Forward holds one copy, backward two (texture + gradient accumulator).
 RESIDENT_LIMIT = 7 * 2 ** 20
@@ -167,8 +175,9 @@ def _seam_remap(c4: Array, size: int, boundary_mode: str) -> Array:
 def _prep(tex: Array, texc: Array, boundary_mode: str):
     """All XLA-side preparation shared by forward and backward.
 
-    :return: (tex_planes (C, THe, TWe), ls_tm, lt_tm (NPIX-major local
-        coords), t0, c0 (n_tiles,) patch origins, live (n_tiles,) i32,
+    :return: (tex_planes (C, THe, TWe), ls (patch-local s), lt (absolute
+        extended-plane t), t0r (n_tiles * TILE_H,) per-pixel-row sub-patch
+        origins, c0 (n_tiles,) patch col origins, live (n_tiles,) i32,
         masks (s_in, t_in) for coordinate-gradient gating, geometry).
     """
     th, tw, c = tex.shape
@@ -188,22 +197,29 @@ def _prep(tex: Array, texc: Array, boundary_mode: str):
     t4 = _seam_remap(t.reshape(gy, TILE_H, gx, TILE_W), th, boundary_mode)
 
     min_s = jnp.min(s4, axis=(1, 3))
-    min_t = jnp.min(t4, axis=(1, 3))
-    t0 = jnp.clip(((jnp.floor(min_t).astype(jnp.int32) - 1) // TILE_H)
-                  * TILE_H, 0, he - PATCH_H).reshape(-1)
     c0 = jnp.clip(((jnp.floor(min_s).astype(jnp.int32) - 1) // TILE_W)
                   * TILE_W, 0, we - PATCH_W).reshape(-1)
 
+    # Per-(tile, pixel-row) texel-row origin for the SUB_H sub-patch
+    # matmuls, 8-aligned for the VMEM sublane slice. Layout matches the
+    # kernel's scalar index tile * TILE_H + r.
+    min_tr = jnp.min(t4, axis=3)                          # (gy, TILE_H, gx)
+    t0r3 = jnp.clip((jnp.floor(min_tr).astype(jnp.int32) // TILE_H)
+                    * TILE_H, 0, he - SUB_H)
+    t0r = jnp.transpose(t0r3, (0, 2, 1)).reshape(-1)      # (n_tiles*TILE_H,)
+
     c0f = c0.reshape(gy, 1, gx, 1).astype(jnp.float32)
-    t0f = t0.reshape(gy, 1, gx, 1).astype(jnp.float32)
+    t0rf = t0r3.astype(jnp.float32)[..., None]            # (gy, TILE_H, gx, 1)
     ls4 = jnp.clip(s4 - c0f, 0.0, PATCH_W - 1.001)
-    lt4 = jnp.clip(t4 - t0f, 0.0, PATCH_H - 1.001)
+    # t stays ABSOLUTE (extended-plane texel rows); the kernel subtracts
+    # its row origin and clamps into the sub-patch.
+    lt4 = jnp.clip(t4, 0.0, he - 1.001)
 
     # Coordinate-gradient gates: zero where the hat-weight subgradient is
     # invalid — at the clamped texture border (clamp mode only; wrap is
     # periodic and smooth across the seam) and where the patch clamps.
     s_in = (s4 - c0f > 0.0) & (s4 - c0f < PATCH_W - 1.001)
-    t_in = (t4 - t0f > 0.0) & (t4 - t0f < PATCH_H - 1.001)
+    t_in = (t4 - t0rf > 0.0) & (t4 - t0rf < SUB_H - 1.001)
     if boundary_mode != "wrap":
         sr = texc[..., 0] * tw - 0.5
         tr = texc[..., 1] * th - 0.5
@@ -223,7 +239,7 @@ def _prep(tex: Array, texc: Array, boundary_mode: str):
         return x4.reshape(ph, pw)
 
     geom = (th, tw, c, he, we, h, w, ph, pw, gy, gx)
-    return (tex_planes, img(ls4), img(lt4), t0, c0, live,
+    return (tex_planes, img(ls4), img(lt4), t0r, c0, live,
             img(s_in.astype(jnp.float32)), img(t_in.astype(jnp.float32)),
             geom)
 
@@ -238,7 +254,7 @@ def _img_spec(gx):
 
 def _fwd_kernel(C: int, gx: int, n_tiles: int,
                 # scalar prefetch
-                t0_ref, c0_ref, live_ref, bg_ref,
+                t0r_ref, c0_ref, live_ref, bg_ref,
                 # inputs
                 tex_hbm, ls_ref, lt_ref,
                 # outputs: C sample planes, then scratch
@@ -257,18 +273,19 @@ def _fwd_kernel(C: int, gx: int, n_tiles: int,
 
     @pl.when(live)
     def _():
-        t0 = pl.multiple_of(t0_ref[tile], TILE_H)
         c0 = pl.multiple_of(c0_ref[tile], TILE_W)
-        patches = [tex_vmem[c, pl.ds(t0, PATCH_H), pl.ds(c0, PATCH_W)]
-                   for c in range(C)]                   # loop-invariant
         rows = [[] for _ in range(C)]
         for r in range(TILE_H):
+            t0r = pl.multiple_of(t0r_ref[tile * TILE_H + r], TILE_H)
+            ltr = jnp.clip(lt_ref[r:r + 1, :] - t0r.astype(jnp.float32),
+                           0.0, SUB_H - 1.001)
             wx = _wrow(ls_ref[r:r + 1, :], PATCH_W)     # (PW, 128)
-            wy = _wrow(lt_ref[r:r + 1, :], PATCH_H)     # (PH, 128)
+            wy = _wrow(ltr, SUB_H)                      # (SUB_H, 128)
             for c in range(C):
-                b = jnp.dot(patches[c], wx,
+                sub = tex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
+                b = jnp.dot(sub, wx,
                             preferred_element_type=jnp.float32,
-                            precision=PRECISION)        # (PH, 128)
+                            precision=PRECISION)        # (SUB_H, 128)
                 rows[c].append(jnp.sum(wy * b, axis=0, keepdims=True))
         for c in range(C):
             out_refs[c][:] = jnp.concatenate(rows[c], axis=0)
@@ -281,7 +298,7 @@ def _fwd_kernel(C: int, gx: int, n_tiles: int,
 
 def _bwd_kernel(C: int, gx: int, n_tiles: int,
                 # scalar prefetch
-                t0_ref, c0_ref, live_ref,
+                t0r_ref, c0_ref, live_ref,
                 # inputs
                 tex_hbm, ls_ref, lt_ref,
                 # then C cotangent planes, outputs, scratch
@@ -303,34 +320,36 @@ def _bwd_kernel(C: int, gx: int, n_tiles: int,
 
     @pl.when(live)
     def _():
-        t0 = pl.multiple_of(t0_ref[tile], TILE_H)
         c0 = pl.multiple_of(c0_ref[tile], TILE_W)
-        patches = [tex_vmem[c, pl.ds(t0, PATCH_H), pl.ds(c0, PATCH_W)]
-                   for c in range(C)]                   # loop-invariant
         gs_rows = []
         gt_rows = []
-        gpatches = [jnp.zeros((PATCH_H, PATCH_W), jnp.float32)
-                    for _ in range(C)]
         for r in range(TILE_H):
+            t0r = pl.multiple_of(t0r_ref[tile * TILE_H + r], TILE_H)
             lsr = ls_ref[r:r + 1, :]
-            ltr = lt_ref[r:r + 1, :]
+            ltr = jnp.clip(lt_ref[r:r + 1, :] - t0r.astype(jnp.float32),
+                           0.0, SUB_H - 1.001)
             wx = _wrow(lsr, PATCH_W)                    # (PW, 128)
-            wy = _wrow(ltr, PATCH_H)                    # (PH, 128)
+            wy = _wrow(ltr, SUB_H)                      # (SUB_H, 128)
             dwx = _dwrow(lsr, PATCH_W)
-            dwy = _dwrow(ltr, PATCH_H)
+            dwy = _dwrow(ltr, SUB_H)
             gs_acc = jnp.zeros((1, TILE_W), jnp.float32)
             gt_acc = jnp.zeros((1, TILE_W), jnp.float32)
             for c in range(C):
                 g = g_refs[c][r:r + 1, :]               # (1, 128)
-                # texture gradient: gpatch += (wy * g) @ wx^T
-                gpatches[c] = gpatches[c] + jax.lax.dot_general(
+                sub = tex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
+                # texture gradient: gsub = (wy * g) @ wx^T, accumulated
+                # straight into the resident gradient plane
+                gsub = jax.lax.dot_general(
                     wy * g, wx, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=PRECISION)
+                cur = gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
+                gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)] = (
+                    cur + gsub)
                 # coordinate gradients
-                b = jnp.dot(patches[c], wx,
+                b = jnp.dot(sub, wx,
                             preferred_element_type=jnp.float32,
-                            precision=PRECISION)        # (PH, 128)
-                b2 = jnp.dot(patches[c], dwx,
+                            precision=PRECISION)        # (SUB_H, 128)
+                b2 = jnp.dot(sub, dwx,
                              preferred_element_type=jnp.float32,
                              precision=PRECISION)
                 gs_acc += jnp.sum(wy * b2, axis=0, keepdims=True) * g
@@ -339,10 +358,6 @@ def _bwd_kernel(C: int, gx: int, n_tiles: int,
             gt_rows.append(gt_acc)
         gs_ref[:] = jnp.concatenate(gs_rows, axis=0)
         gt_ref[:] = jnp.concatenate(gt_rows, axis=0)
-        for c in range(C):
-            cur = gtex_vmem[c, pl.ds(t0, PATCH_H), pl.ds(c0, PATCH_W)]
-            gtex_vmem[c, pl.ds(t0, PATCH_H), pl.ds(c0, PATCH_W)] = (
-                cur + gpatches[c])
 
     @pl.when(jnp.logical_not(live))
     def _():
@@ -372,7 +387,7 @@ def _background_sample(tex: Array, boundary_mode: str) -> Array:
 def _texture_fwd_impl(tex, texc, boundary_mode, interpret):
     squeeze = tex.ndim == 2
     tex3 = tex[..., None] if squeeze else tex
-    (tex_planes, ls, lt, t0, c0, live, _s_in, _t_in,
+    (tex_planes, ls, lt, t0r, c0, live, _s_in, _t_in,
      geom) = _prep(tex3, texc, boundary_mode)
     th, tw, C, he, we, h, w, ph, pw, gy, gx = geom
     n_tiles = gy * gx
@@ -394,7 +409,7 @@ def _texture_fwd_impl(tex, texc, boundary_mode, interpret):
                    for _ in range(C)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
-    )(t0, c0, live, bg, tex_planes, ls, lt)
+    )(t0r, c0, live, bg, tex_planes, ls, lt)
     out = jnp.stack([o[:h, :w] for o in outs], axis=-1)
     return out[..., 0:] if not squeeze else out[..., 0]
 
@@ -414,7 +429,7 @@ def _texture_vjp_bwd(boundary_mode, interpret, res, g):
     squeeze = tex.ndim == 2
     tex3 = tex[..., None] if squeeze else tex
     g3 = g[..., None] if squeeze else g
-    (tex_planes, ls, lt, t0, c0, _live, s_in, t_in,
+    (tex_planes, ls, lt, t0r, c0, _live, s_in, t_in,
      geom) = _prep(tex3, texc, boundary_mode)
     th, tw, C, he, we, h, w, ph, pw, gy, gx = geom
     n_tiles = gy * gx
@@ -453,7 +468,7 @@ def _texture_vjp_bwd(boundary_mode, interpret, res, g):
         # in a scan body with dynamic-slice operands. Outputs are consumed,
         # so DCE protection is not needed.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
-    )(t0, c0, live_b, tex_planes, ls, lt, *g_planes)
+    )(t0r, c0, live_b, tex_planes, ls, lt, *g_planes)
 
     # Block consumer fusion into the multi-output custom call: the XLA-TPU
     # fusion pass (TpuInstructionFusion consumer-fusion analysis) crashes
