@@ -64,7 +64,6 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
     if resolved_impl == "auto":
         resolved_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
-    from fpc_diffrend_tpu.ops.antialias import antialias_fused
     from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
         fits_resident, texture_pallas)
 
@@ -75,7 +74,7 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
             from fpc_diffrend_tpu.ops.rasterize import (
                 _pixel_db_from_data, _rasterize_pallas_full)
 
-            rast, texc, verts_img, neigh_img, data, idbuf = \
+            rast, texc, verts_img, neigh_img, data, idbuf, payload = \
                 _rasterize_pallas_full(pos_clip, pos_idx, uv, uv_idx,
                                        face_neighbors, resolution, False,
                                        pair_cap)
@@ -97,7 +96,7 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
     elif resolved_impl == "pallas":
         from fpc_diffrend_tpu.ops.rasterize import _rasterize_pallas_full
 
-        rast, texc, verts_img, neigh_img, _data, _idbuf = \
+        rast, texc, verts_img, neigh_img, _data, idbuf, payload = \
             _rasterize_pallas_full(pos_clip, pos_idx, uv, uv_idx,
                                    face_neighbors, resolution, False,
                                    pair_cap)
@@ -115,10 +114,14 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
         colour = texture(tex, texc, filter_mode="linear")
 
     if verts_img is not None:
-        # elementwise antialias from the fused winner payload: exact (no
-        # pair cap), no gathers, position gradients reduced by the Pallas
-        # gradient kernel
-        colour = antialias_fused(colour, rast, verts_img, neigh_img)
+        # Pallas antialias over the fused winner payload: exact (no pair
+        # cap), no gathers, tile-local pair stencil; position gradients
+        # land on the payload's screen-corner planes and reduce through
+        # the Pallas gradient kernel
+        from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
+            antialias_payload_pallas)
+
+        colour = antialias_payload_pallas(colour, idbuf, payload)
     else:
         colour = antialias(colour, rast, pos_clip, pos_idx, face_neighbors,
                            max_pairs=aa_max_pairs)

@@ -350,7 +350,12 @@ def _rasterize_pallas_full(pos_clip: Array, faces: Array, uv, uv_idx,
     """Fused Pallas rasterize + interpolate + antialias-input planes.
 
     :return: (rast (H, W, 4), texc (H, W, 2), verts_img (H, W, 6),
-              neigh_img (H, W, 3), data (T, 16), idbuf)
+              neigh_img (H, W, 3), data (T, 16), idbuf,
+              payload (N_PAYLOAD, H, W))
+
+    ``payload`` carries the same winner planes plane-major (the layout the
+    Pallas antialias kernel consumes); verts_img/neigh_img are its
+    channel-last views and fold away unused.
     """
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
         aux_records, bin_scene)
@@ -378,7 +383,7 @@ def _rasterize_pallas_full(pos_clip: Array, faces: Array, uv, uv_idx,
     texc = jnp.stack([payload[3], payload[4]], axis=-1)
     verts_img = jnp.moveaxis(payload[5:11], 0, -1)
     neigh_img = jax.lax.stop_gradient(jnp.moveaxis(payload[11:14], 0, -1))
-    return rast, texc, verts_img, neigh_img, data, idbuf
+    return rast, texc, verts_img, neigh_img, data, idbuf, payload
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "impl", "with_db",
@@ -409,7 +414,7 @@ def rasterize(pos_clip: Array, faces: Array, resolution: Tuple[int, int],
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     if impl == "pallas":
-        rast, _texc, _verts, _neigh, data, idbuf = _rasterize_pallas_full(
+        rast, _texc, _verts, _neigh, data, idbuf, _pay = _rasterize_pallas_full(
             pos_clip, faces, None, None, None, resolution, interpret)
         db = (_pixel_db_from_data(data, idbuf, height, width)
               if with_db else None)
@@ -456,7 +461,7 @@ def rasterize_with_uv(pos_clip: Array, faces: Array, uv: Array,
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     if impl == "pallas":
-        rast, texc, _verts, _neigh, _data, _idbuf = _rasterize_pallas_full(
+        rast, texc, _verts, _neigh, _data, _idbuf, _pay = _rasterize_pallas_full(
             pos_clip, faces, uv, uv_idx, None, resolution, interpret)
         return rast, texc
 

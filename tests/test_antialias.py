@@ -199,3 +199,70 @@ def test_fused_antialias_matches_gather_antialias():
     g_fused = jax.grad(lambda p: jnp.sum(out_fused(p) * gimg))(pos)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_gather),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_antialias_matches_fused():
+    """antialias_payload_pallas (tile-stencil kernel, interpret mode) ==
+    antialias_fused: values, color gradients, and the payload screen-corner
+    gradients vs the verts_img gradients of the XLA formulation."""
+    from fpc_diffrend_tpu.ops.antialias import antialias_fused
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
+        antialias_payload_pallas)
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import N_PAYLOAD
+
+    rng = np.random.default_rng(7)
+    quads, faces_all, base = [], [], 0
+    for (cx, cy, z, s) in [(-0.2, 0.0, 0.2, 0.55), (0.25, 0.1, -0.3, 0.4),
+                           (0.0, -0.3, 0.0, 0.3)]:
+        pos = np.array([
+            [cx - s, cy - s, z, 1], [cx + s, cy - s, z, 1],
+            [cx + s, cy + s, z, 1], [cx - s, cy + s, z, 1]], np.float32)
+        quads.append(pos)
+        faces_all.append(np.array([[0, 1, 2], [0, 2, 3]], np.int32) + base)
+        base += 4
+    pos = jnp.asarray(np.concatenate(quads))
+    faces = np.concatenate(faces_all)
+    topo = objlib.build_topology(faces, pos.shape[0])
+    neighbors = jnp.asarray(topo.face_neighbors)
+    faces = jnp.asarray(faces)
+    H, W = 72, 136   # off-tile-grid width exercises the pad/edge masks
+    tex_colors = jnp.asarray(
+        rng.uniform(0.2, 1.0, size=(faces.shape[0],)).astype(np.float32))
+
+    rast, _ = r.rasterize(pos, faces, (H, W), impl="scan")
+    ids = rast[..., 3].astype(jnp.int32) - 1
+    color0 = jnp.where((ids >= 0)[..., None],
+                       tex_colors[jnp.maximum(ids, 0)][..., None], 0.1)
+    verts_img0, neigh_img0 = _winner_planes(pos, faces, neighbors, rast,
+                                            H, W)
+
+    def payload_of(verts_img):
+        pay = jnp.zeros((N_PAYLOAD, H, W), jnp.float32)
+        pay = pay.at[2].set(rast[..., 2])
+        pay = pay.at[5:11].set(jnp.moveaxis(verts_img, -1, 0))
+        pay = pay.at[11:14].set(jnp.moveaxis(neigh_img0, -1, 0))
+        return pay
+
+    def out_fused(color, verts_img):
+        return antialias_fused(color, rast, verts_img, neigh_img0)
+
+    def out_pallas(color, verts_img):
+        return antialias_payload_pallas(color, ids, payload_of(verts_img),
+                                        interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(out_pallas(color0, verts_img0)),
+        np.asarray(out_fused(color0, verts_img0)), atol=1e-6)
+
+    gimg = jnp.asarray(rng.normal(size=(H, W, 1)).astype(np.float32))
+
+    def loss(fn):
+        return lambda c, v: jnp.sum(fn(c, v) * gimg)
+
+    gc_f, gv_f = jax.grad(loss(out_fused), argnums=(0, 1))(color0, verts_img0)
+    gc_p, gv_p = jax.grad(loss(out_pallas), argnums=(0, 1))(color0,
+                                                            verts_img0)
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_f),
+                               rtol=1e-5, atol=1e-6)
