@@ -33,10 +33,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
-    N_PAYLOAD, TILE_H, TILE_W, pad_resolution)
+from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import N_PAYLOAD
 
 Array = jnp.ndarray
+
+# Larger blocks than the raster kernels' 8x128: the stencil is pure
+# elementwise VPU work, so per-program overhead (5 neighbor-block DMAs
+# per plane set) dominates at small tiles.
+TILE_H = 32
+TILE_W = 256
+
+
+def pad_resolution(height: int, width: int):
+    ph = (height + TILE_H - 1) // TILE_H * TILE_H
+    pw = (width + TILE_W - 1) // TILE_W * TILE_W
+    return ph, pw
 
 # packed plane indices
 _ID, _Z = 0, 1
@@ -53,7 +64,7 @@ def _pair_delta(a, b, pax, pay, pbx, pby, C):
     """Blend deltas for aligned pixel-pair planes (math of
     ops.antialias._pair_blend_planes, operand-for-operand).
 
-    ``a``/``b`` are lists of (TILE_H, TILE_W) planes in packed order.
+    ``a``/``b`` are lists of (TILE_H, TILE_W) blend-tile planes in packed order.
     :return: (delta_a list, delta_b list) of C color-delta planes.
     """
     id_a = a[_ID]

@@ -87,7 +87,10 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
 
     @pl.when(tile_idx == 0)
     def _():
-        pend_idx[0] = -1
+        pend_idx[0] = -1    # column of the live pending buffer
+        pend_idx[1] = 0     # live slot of the double buffer
+        pend_idx[2] = -1    # column of an in-flight write from slot 0
+        pend_idx[3] = -1    # column of an in-flight write from slot 1
         gglob_vmem[:] = jnp.zeros((REC, MAX_GLOBAL), jnp.float32)
 
     # does any global (oversized) triangle block touch this tile row?
@@ -122,28 +125,46 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
                 preferred_element_type=jnp.float32)        # (REC, CHUNK)
 
         # pending-buffer accumulation: sum chunks shared across tiles in
-        # VMEM; every chunk column range hits HBM exactly once.
+        # VMEM; every chunk column range hits HBM exactly once, through a
+        # double-buffered ASYNC write (the wait happens only when the
+        # slot is needed again, hiding the store latency behind the next
+        # tiles' compute).
         same = col0 == pend_idx[0]
+        slot = pend_idx[1]
 
         @pl.when(same)
         def _():
-            pend_vmem[:] = pend_vmem[:] + g32
+            pend_vmem[slot] = pend_vmem[slot] + g32
 
         @pl.when(jnp.logical_not(same))
         def _():
             prev = pend_idx[0]
+            nxt = 1 - slot
 
             @pl.when(prev >= 0)
             def _():
                 prev_a = pl.multiple_of(prev, CHUNK)
-                wr = pltpu.make_async_copy(
-                    pend_vmem, grad_out_hbm.at[:, pl.ds(prev_a, CHUNK)],
-                    out_sem)
-                wr.start()
-                wr.wait()
+                pltpu.make_async_copy(
+                    pend_vmem.at[slot],
+                    grad_out_hbm.at[:, pl.ds(prev_a, CHUNK)],
+                    out_sem.at[slot]).start()
+                pend_idx[2 + slot] = prev
 
-            pend_vmem[:] = g32
+            # drain any in-flight write from the slot we are reusing
+            inflight = pend_idx[2 + nxt]
+
+            @pl.when(inflight >= 0)
+            def _():
+                in_a = pl.multiple_of(inflight, CHUNK)
+                pltpu.make_async_copy(
+                    pend_vmem.at[nxt],
+                    grad_out_hbm.at[:, pl.ds(in_a, CHUNK)],
+                    out_sem.at[nxt]).wait()
+                pend_idx[2 + nxt] = -1
+
+            pend_vmem[nxt] = g32
             pend_idx[0] = col0
+            pend_idx[1] = nxt
 
         return 0
 
@@ -170,17 +191,30 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
             cur = gglob_vmem[:, pl.ds(gb * CHUNK, CHUNK)]
             gglob_vmem[:, pl.ds(gb * CHUNK, CHUNK)] = cur + g32
 
-    # ---- final flush ----
+    # ---- final flush: live pending buffer + any in-flight writes ----
     @pl.when(tile_idx == n_tiles - 1)
     def _():
+        slot = pend_idx[1]
+
         @pl.when(pend_idx[0] >= 0)
         def _():
             last_a = pl.multiple_of(pend_idx[0], CHUNK)
             wr = pltpu.make_async_copy(
-                pend_vmem, grad_out_hbm.at[:, pl.ds(last_a, CHUNK)],
-                out_sem)
+                pend_vmem.at[slot], grad_out_hbm.at[:, pl.ds(last_a, CHUNK)],
+                out_sem.at[slot])
             wr.start()
             wr.wait()
+
+        for sl in range(2):
+            inflight = pend_idx[2 + sl]
+
+            @pl.when(inflight >= 0)
+            def _():
+                in_a = pl.multiple_of(inflight, CHUNK)
+                pltpu.make_async_copy(
+                    pend_vmem.at[sl],
+                    grad_out_hbm.at[:, pl.ds(in_a, CHUNK)],
+                    out_sem.at[sl]).wait()
 
         gw = pltpu.make_async_copy(gglob_vmem, gglob_out_hbm, global_sem)
         gw.start()
@@ -300,10 +334,10 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_H, REC, TILE_W), jnp.float32),  # C rows
-            pltpu.VMEM((REC, CHUNK), jnp.float32),           # pending
+            pltpu.VMEM((2, REC, CHUNK), jnp.float32),        # pending x2
             pltpu.VMEM((REC, MAX_GLOBAL), jnp.float32),      # global acc
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -285,6 +285,36 @@ def pad_resolution(height: int, width: int):
     return ph, pw
 
 
+def chunk_schedule(bin_start: Array, n_cols: int, n_tiles: int):
+    """Flattened (tile, chunk) DMA schedule for cross-tile prefetching.
+
+    :param bin_start: (n_tiles + 1,) bin offsets.
+    :param n_cols: total record columns (sorted_rec_t.shape[1]).
+    :return: (sched_start (n_tiles + 1,) i32 — schedule index of each
+        tile's first chunk, with the total count in the last slot;
+        sched_col (S,) i32 — 128-aligned column offset of each scheduled
+        chunk, S a static bound, entries past the live count clamped
+        in-range).
+    """
+    start_t = bin_start[:-1]
+    end_t = bin_start[1:]
+    cnt = end_t - start_t
+    fc = start_t // CHUNK
+    nch = jnp.where(cnt > 0, (end_t - 1) // CHUNK - fc + 1, 0)
+    sched_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(nch).astype(jnp.int32)])
+    # static bound: every live chunk window plus one boundary per tile
+    S = n_cols // CHUNK + n_tiles
+    ks = jnp.arange(S, dtype=jnp.int32)
+    t_of_k = jnp.searchsorted(sched_start, ks, side="right"
+                              ).astype(jnp.int32) - 1
+    t_safe = jnp.clip(t_of_k, 0, n_tiles - 1)
+    col = (fc[t_safe] + ks - sched_start[t_safe]) * CHUNK
+    sched_col = jnp.clip(col, 0, n_cols - CHUNK).astype(jnp.int32)
+    return sched_start, sched_col
+
+
 _BIG = 3.0e38
 
 # extra per-pixel planes emitted for the backward kernel (the gradient
@@ -343,15 +373,26 @@ def _merge_winner(acc, z_new, i_new):
     acc[1] = jnp.where(better, i_new, acc[1])
 
 
+def _sched_dma(sched_col_ref, sorted_hbm, chunk_vmem, dma_sem, k):
+    """DMA descriptor for the k-th scheduled bin chunk (4-slot rotation)."""
+    col = pl.multiple_of(sched_col_ref[k], CHUNK)
+    slot = jax.lax.rem(k, 4)
+    return pltpu.make_async_copy(
+        sorted_hbm.at[:, pl.ds(col, CHUNK)],
+        chunk_vmem.at[slot], dma_sem.at[slot])
+
+
 def _fused_kernel(gx: int, n_tiles: int, gbase: int,
                   # scalar prefetch
                   bin_start_ref, n_global_ref, gblk_ty_ref,
+                  sched_start_ref, sched_col_ref,
                   # inputs
                   sorted_hbm, global_hbm,
                   # outputs
                   id_out_ref, entry_out_ref, payload_out_ref, extra_out_ref,
                   # scratch
-                  chunk_vmem, global_vmem, acc, fvm, dma_sem, global_sem):
+                  chunk_vmem, global_vmem, acc, fvm, bbuf_vmem,
+                  dma_sem, bsem, global_sem):
     """Two-phase fused rasterization.
 
     Phase A streams the tile's bin and resolves only (depth, winning
@@ -361,6 +402,14 @@ def _fused_kernel(gx: int, n_tiles: int, gbase: int,
     evaluates every payload plane densely once per tile. This keeps the
     per-record inner loop at ~15 VPU ops and moves all payload math off
     the (record x pixel) product entirely.
+
+    Chunk DMAs are pipelined ACROSS tiles: most bins span one chunk, so a
+    per-tile start->wait would expose the full HBM latency ~once per live
+    tile. Instead the flattened (tile, chunk) schedule is precomputed
+    XLA-side (sched_start/sched_col) and the consumer of schedule entry k
+    starts entry k + 2 into a 4-slot rotation — entries k+1 and k+2 are
+    always in flight while k is consumed, and a <=2-chunk bin's slots
+    survive untouched through phase B (the cached path).
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -370,13 +419,28 @@ def _fused_kernel(gx: int, n_tiles: int, gbase: int,
     end = bin_start_ref[tile_idx + 1]
     count = end - start
     n_global = n_global_ref[0]
+    s0 = sched_start_ref[tile_idx]
+    n_sched = sched_start_ref[n_tiles]
 
-    # Load the (small) global-triangle list into persistent VMEM once.
-    @pl.when((tile_idx == 0) & (n_global > 0))
+    # First program: load the (small) global-triangle list into persistent
+    # VMEM and bootstrap the chunk prefetch pipeline.
+    @pl.when(tile_idx == 0)
     def _():
-        dma = pltpu.make_async_copy(global_hbm, global_vmem, global_sem)
-        dma.start()
-        dma.wait()
+        @pl.when(n_global > 0)
+        def _():
+            dma = pltpu.make_async_copy(global_hbm, global_vmem, global_sem)
+            dma.start()
+            dma.wait()
+
+        @pl.when(n_sched > 0)
+        def _():
+            _sched_dma(sched_col_ref, sorted_hbm, chunk_vmem, dma_sem,
+                       0).start()
+
+        @pl.when(n_sched > 1)
+        def _():
+            _sched_dma(sched_col_ref, sorted_hbm, chunk_vmem, dma_sem,
+                       1).start()
 
     # does any global (oversized) triangle block touch this tile row?
     any_glob = n_global < 0  # False, as a traced bool
@@ -399,17 +463,17 @@ def _fused_kernel(gx: int, n_tiles: int, gbase: int,
     @pl.when(work)
     def _do_tile():
         _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
-                         gblk_ty_ref, sorted_hbm,
+                         gblk_ty_ref, sched_col_ref, s0, n_sched, sorted_hbm,
                          id_out_ref, entry_out_ref, payload_out_ref,
                          extra_out_ref, chunk_vmem, global_vmem, acc, fvm,
-                         dma_sem)
+                         bbuf_vmem, dma_sem, bsem)
 
 
 def _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
-                     gblk_ty_ref, sorted_hbm,
+                     gblk_ty_ref, sched_col_ref, s0, n_sched, sorted_hbm,
                      id_out_ref, entry_out_ref, payload_out_ref,
                      extra_out_ref, chunk_vmem, global_vmem, acc, fvm,
-                     dma_sem):
+                     bbuf_vmem, dma_sem, bsem):
     """Both kernel phases + payload resolve for one non-empty tile."""
     # x along lanes (shared by all tile rows).
     x_row = (tj * TILE_W
@@ -424,26 +488,11 @@ def _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
     n_chunks = jnp.where(count > 0,
                          (end - 1) // CHUNK - first_chunk + 1, 0)
 
-    def data_dma(slot, ci):
-        col0 = pl.multiple_of((first_chunk + ci) * CHUNK, CHUNK)
-        return pltpu.make_async_copy(
-            sorted_hbm.at[:, pl.ds(col0, CHUNK)],
-            chunk_vmem.at[slot], dma_sem.at[slot])
-
-    # ---- phase A: binned records, double-buffered streaming ----
-    @pl.when(n_chunks > 0)
-    def _():
-        data_dma(0, 0).start()
-
+    # ---- phase A: binned records, cross-tile prefetched streaming ----
     def chunk_a(ci, _):
-        slot = jax.lax.rem(ci, 2)
-        nxt = jax.lax.rem(ci + 1, 2)
-
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            data_dma(nxt, ci + 1).start()
-
-        data_dma(slot, ci).wait()
+        k = s0 + ci
+        slot = jax.lax.rem(k, 4)
+        _sched_dma(sched_col_ref, sorted_hbm, chunk_vmem, dma_sem, k).wait()
         col0 = (first_chunk + ci) * CHUNK
         at_full = chunk_vmem[slot].T                      # (CHUNK, REC)
         for sb in range(CHUNK // SUB):
@@ -455,6 +504,12 @@ def _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
                 zc_, ic_ = _phasea_block(at, sub_base, start, end, ti,
                                          x_row)
                 _merge_winner(acc, zc_, ic_)
+
+        @pl.when(k + 2 < n_sched)
+        def _():
+            _sched_dma(sched_col_ref, sorted_hbm, chunk_vmem, dma_sem,
+                       k + 2).start()
+
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_a, 0)
@@ -478,27 +533,37 @@ def _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
     fvm[:] = jnp.zeros((TILE_H, REC, TILE_W), jnp.float32)
 
     # bins spanning <= 2 chunks (the typical case) are still resident in
-    # the double buffer from phase A — skip the re-DMA entirely
+    # the 4-slot rotation from phase A (in-flight prefetches k+1, k+2 land
+    # in the other two slots) — skip the re-DMA entirely; longer bins
+    # re-stream through a separate double buffer so the prefetch pipeline
+    # is never disturbed.
     cached = n_chunks <= 2
+
+    def bdma(bslot, ci):
+        col0 = pl.multiple_of((first_chunk + ci) * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            sorted_hbm.at[:, pl.ds(col0, CHUNK)],
+            bbuf_vmem.at[bslot], bsem.at[bslot])
 
     @pl.when((n_chunks > 0) & jnp.logical_not(cached))
     def _():
-        data_dma(0, 0).start()
+        bdma(0, 0).start()
 
     def chunk_b(ci, _):
-        slot = jax.lax.rem(ci, 2)
-        nxt = jax.lax.rem(ci + 1, 2)
+        bslot = jax.lax.rem(ci, 2)
 
         @pl.when(jnp.logical_not(cached))
         def _():
             @pl.when(ci + 1 < n_chunks)
             def _():
-                data_dma(nxt, ci + 1).start()
+                bdma(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
-            data_dma(slot, ci).wait()
+            bdma(bslot, ci).wait()
 
         col0 = (first_chunk + ci) * CHUNK
-        chunk = chunk_vmem[slot]                          # (REC, CHUNK)
+        kslot = jax.lax.rem(s0 + ci, 4)
+        chunk = jnp.where(cached, chunk_vmem[kslot],
+                          bbuf_vmem[bslot])               # (REC, CHUNK)
         col_f = (col0 + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                  ).astype(jnp.float32)
         for g in range(TILE_H):
@@ -631,9 +696,10 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
     gy, gx = ph // TILE_H, pw // TILE_W
     n_tiles = gy * gx
     gbase = int(bins.sorted_rec_t.shape[1])
+    sched_start, sched_col = chunk_schedule(bins.bin_start, gbase, n_tiles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(gy, gx),
         in_specs=[
             # Force HBM: bins are streamed via manual DMA, and VMEM
@@ -650,10 +716,12 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
                          lambda i, j, *_: (0, i, j)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, REC, CHUNK), jnp.float32),   # double-buffered
+            pltpu.VMEM((4, REC, CHUNK), jnp.float32),   # prefetch rotation
             pltpu.VMEM((REC, MAX_GLOBAL), jnp.float32),  # persistent
             pltpu.VMEM((2, TILE_H, TILE_W), jnp.float32),  # z + entry idx
             pltpu.VMEM((TILE_H, REC, TILE_W), jnp.float32),  # gathered
+            pltpu.VMEM((2, REC, CHUNK), jnp.float32),   # phase-B re-stream
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -669,7 +737,7 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
             jax.ShapeDtypeStruct((N_EXTRA, ph, pw), jnp.float32),
         ],
         interpret=interpret,
-    )(bins.bin_start, bins.n_global, bins.gblk_ty,
+    )(bins.bin_start, bins.n_global, bins.gblk_ty, sched_start, sched_col,
       bins.sorted_rec_t, bins.global_rec_t)
 
     return (idbuf[:height, :width], payload[:, :height, :width],
