@@ -52,6 +52,12 @@ def main():
     iters = int(os.environ.get("FPC_BENCH_ITERS", "10"))
     impl = os.environ.get("FPC_BENCH_IMPL", "auto")
     texn = int(os.environ.get("FPC_BENCH_TEX", "1024"))
+    # BASELINE.json config knobs: camera count, frame count, temporal
+    # smoothness weight (config 3), mip path (reference main.py:27-28)
+    n_cams = int(os.environ.get("FPC_BENCH_CAMS", "3"))
+    n_frames = int(os.environ.get("FPC_BENCH_FRAMES", "4"))
+    w_temporal = float(os.environ.get("FPC_BENCH_TEMPORAL", "0"))
+    mip = int(os.environ.get("FPC_BENCH_MIP", "0"))
 
     rng = np.random.default_rng(0)
 
@@ -72,9 +78,12 @@ def main():
     mesh = objlib.MeshData(vertices=verts.reshape(-1), uv=uv, faces=faces,
                            fuv=faces)
 
-    n_cams, n_frames = 3, 4
     intr = np.array([[7000.0, 0, 600.0], [0, 7000.0, 800.0], [0, 0, 1]],
                     np.float32)
+    # keep the face ~80% of frame at any resolution: f scales with H
+    intr[0, 0] = intr[1, 1] = 7000.0 * H / 1600.0
+    intr[0, 2] = W * 0.5
+    intr[1, 2] = H * 0.5
     projs, mvs = [], []
     for c in range(n_cams):
         R = np.asarray(camera.rotate_y(0.3 * (c - 1)))[:3, :3]
@@ -87,6 +96,8 @@ def main():
                        texshape=(texn, texn, 1), mode="free",
                        cam_idxs=tuple(range(n_cams)), batch_size=B,
                        raster_impl=impl, weight_laplacian=1.0,
+                       weight_temporal=w_temporal,
+                       enable_mip=bool(mip), max_mip_level=6 if mip else 0,
                        log_interval=0)
     tex = rng.uniform(size=(texn, texn, 1)).astype(np.float32)
     params = state_mod.init_params(config, n_frames, scene.v_base.shape[0],

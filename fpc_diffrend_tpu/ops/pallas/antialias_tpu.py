@@ -8,17 +8,18 @@ blend, Laine et al. 2020 §3.4 — reference fit.py:160) tile-locally:
 
   * All operands are packed plane-major into one (P, H, W) array
     [id, z, x0 y0 x1 y1 x2 y2, n0 n1 n2, color...] so the kernel takes
-    five refs total: its own (P, 8, 128) block plus the four
-    edge-clamped neighbor blocks (left/right/up/down) for the
-    one-pixel pair halo.
-  * Each pixel accumulates its FOUR pair contributions (as the a-side of
-    the right/down pairs and the b-side of the left/up pairs) so every
-    write is tile-local — no scatter, no slice-update copies.
+    three refs total: its own block plus the edge-clamped right/down
+    neighbor blocks for the one-pixel pair halo.
+  * Each pair is evaluated ONCE, at its left/top pixel; the other side's
+    delta flows forward — one-pixel shift inside the tile, VMEM carries
+    across tile boundaries (the TPU grid is sequential row-major). Every
+    write stays tile-local: no scatter, no slice-update copies, and no
+    duplicate pair math.
   * The backward is the same stencil with ``jax.vjp`` of the pair blend
-    traced inside the kernel; each pass keeps only the cur-side
-    cotangents (the partner's share is produced by the partner's own
-    pass). Gradients flow to ``color`` and to the payload's screen-corner
-    planes (slots 5-10), composing with the fused rasterize custom VJP.
+    traced inside the kernel; b-side cotangent shares ride the same
+    forward carries. Gradients flow to ``color`` and to the payload's
+    screen-corner planes (slots 5-10), composing with the fused
+    rasterize custom VJP.
 
 Pair semantics match ops.antialias._pair_blend_planes exactly (same
 op order, same guards); equality is pinned by tests/test_antialias.py.
@@ -117,21 +118,23 @@ def _pair_delta(a, b, pax, pay, pbx, pby, C):
 
 
 def _shift_left(x, right):
-    """Lanes shifted by -1; lane 127 filled from the right block's lane 0."""
+    """Lanes shifted by -1; the last lane filled from the right block."""
     return jnp.concatenate([x[:, 1:], right[:, :1]], axis=1)
 
 
-def _shift_right(x, left):
-    return jnp.concatenate([left[:, -1:], x[:, :-1]], axis=1)
+def _shift_right_fill(x, fill_col):
+    """Lanes shifted by +1; lane 0 filled with ``fill_col`` (TILE_H, 1)."""
+    return jnp.concatenate([fill_col, x[:, :-1]], axis=1)
 
 
 def _shift_up(x, down):
-    """Sublanes shifted by -1 (pixel below); row 7 from the down block."""
+    """Sublanes shifted by -1 (pixel below); last row from the down block."""
     return jnp.concatenate([x[1:, :], down[:1, :]], axis=0)
 
 
-def _shift_down(x, up):
-    return jnp.concatenate([up[-1:, :], x[:-1, :]], axis=0)
+def _shift_down_fill(x, fill_row):
+    """Sublanes shifted by +1; row 0 filled with ``fill_row`` (1, TILE_W)."""
+    return jnp.concatenate([fill_row, x[:-1, :]], axis=0)
 
 
 def _centers(ti, tj):
@@ -145,95 +148,99 @@ def _centers(ti, tj):
 
 
 def _pass_args(cur, nbr, direction, ti, tj, C):
-    """(a, b, pax, pay, pbx, pby, cur_is_a, pair_valid_mask) for one of the
-    four pair passes. ``cur``/``nbr`` are packed plane lists; masks are
-    computed against the true image extent (height, width) captured in
-    the closure of the kernel."""
+    """(a, b, pax, pay, pbx, pby) for a pair pass with cur as the a-side.
+
+    ``direction`` is "right" (partner = pixel x+1, via the right block's
+    halo) or "down" (partner = pixel y+1, via the down block's halo)."""
     x, y = _centers(ti, tj)
     P = len(cur)
-    if direction == "right":        # cur is a, partner = pixel x+1
+    if direction == "right":
         b = [_shift_left(cur[k], nbr[k]) for k in range(P)]
-        return cur, b, x, y, x + 1.0, y, True
-    if direction == "left":         # cur is b, partner = pixel x-1
-        a = [_shift_right(cur[k], nbr[k]) for k in range(P)]
-        return a, cur, x - 1.0, y, x, y, False
-    if direction == "down":         # cur is a, partner = pixel y+1
-        b = [_shift_up(cur[k], nbr[k]) for k in range(P)]
-        return cur, b, x, y, x, y + 1.0, True
-    # "up": cur is b, partner = pixel y-1
-    a = [_shift_down(cur[k], nbr[k]) for k in range(P)]
-    return a, cur, x, y - 1.0, x, y, False
+        return cur, b, x, y, x + 1.0, y
+    b = [_shift_up(cur[k], nbr[k]) for k in range(P)]
+    return cur, b, x, y, x, y + 1.0
 
 
 def _pair_masks(ti, tj, height, width):
     x, y = _centers(ti, tj)
-    xi = x - 0.5
-    yi = y - 0.5
-    return {"right": xi < width - 1, "left": xi > 0,
-            "down": yi < height - 1, "up": yi > 0}
+    return {"right": (x - 0.5) < width - 1, "down": (y - 0.5) < height - 1}
 
 
-def _fwd_kernel(C: int, height: int, width: int,
-                cur_ref, left_ref, right_ref, up_ref, down_ref, out_ref):
+def _fwd_kernel(C: int, gx: int, height: int, width: int,
+                cur_ref, right_ref, down_ref, out_ref,
+                hcarry, vcarry):
+    """Each pair is evaluated ONCE, at its a-side (left/top) pixel; the
+    b-side delta flows forward — within the tile by a one-pixel shift,
+    across tiles through VMEM carries (sequential row-major grid):
+    ``hcarry`` holds the last lane's horizontal db for the next tile,
+    ``vcarry[j]`` the bottom row's vertical db for the tile below."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     P = _C0 + C
     cur = [cur_ref[k] for k in range(P)]
-    nbrs = {"left": left_ref, "right": right_ref,
-            "up": up_ref, "down": down_ref}
     masks = _pair_masks(ti, tj, height, width)
 
     acc = [cur[_C0 + c] for c in range(C)]
-    for direction in ("right", "left", "down", "up"):
-        nref = nbrs[direction]
-        nbr = [nref[k] for k in range(P)]
-        a, b, pax, pay, pbx, pby, cur_is_a = _pass_args(
-            cur, nbr, direction, ti, tj, C)
-        da, db = _pair_delta(a, b, pax, pay, pbx, pby, C)
-        mine = da if cur_is_a else db
-        m = masks[direction]
-        for c in range(C):
-            acc[c] = acc[c] + jnp.where(m, mine[c], 0.0)
+
+    # horizontal pairs (p, p+1)
+    a, b, pax, pay, pbx, pby = _pass_args(cur, [right_ref[k] for k in
+                                                range(P)], "right", ti, tj, C)
+    da, db = _pair_delta(a, b, pax, pay, pbx, pby, C)
+    m = masks["right"]
+    for c in range(C):
+        dbm = jnp.where(m, db[c], 0.0)
+        fill = jnp.where(tj > 0, hcarry[c], 0.0)
+        acc[c] = (acc[c] + jnp.where(m, da[c], 0.0)
+                  + _shift_right_fill(dbm, fill))
+        hcarry[c] = dbm[:, -1:]
+
+    # vertical pairs (p, p below)
+    a, b, pax, pay, pbx, pby = _pass_args(cur, [down_ref[k] for k in
+                                                range(P)], "down", ti, tj, C)
+    da, db = _pair_delta(a, b, pax, pay, pbx, pby, C)
+    m = masks["down"]
+    for c in range(C):
+        dbm = jnp.where(m, db[c], 0.0)
+        fill = jnp.where(ti > 0, vcarry[tj, c], 0.0)
+        acc[c] = (acc[c] + jnp.where(m, da[c], 0.0)
+                  + _shift_down_fill(dbm, fill))
+        vcarry[tj, c] = dbm[-1:, :]
+
     for c in range(C):
         out_ref[c] = acc[c]
 
 
-def _bwd_kernel(C: int, height: int, width: int,
-                cur_ref, left_ref, right_ref, up_ref, down_ref,
-                gout_cur_ref, gout_left_ref, gout_right_ref,
-                gout_up_ref, gout_down_ref, gcol_ref, gverts_ref):
+def _bwd_kernel(C: int, gx: int, height: int, width: int,
+                cur_ref, right_ref, down_ref,
+                gout_cur_ref, gout_right_ref, gout_down_ref,
+                gcol_ref, gverts_ref, hcarry, vcarry):
+    """Transpose of the forward stencil: the vjp of each a-side pair pass
+    yields cotangents for both sides; the b-side shares flow forward
+    through the same carry scheme (6 vert planes + C color planes)."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     P = _C0 + C
+    D = 6 + C
     cur = [cur_ref[k] for k in range(P)]
-    nbrs = {"left": left_ref, "right": right_ref,
-            "up": up_ref, "down": down_ref}
-    gnbrs = {"left": gout_left_ref, "right": gout_right_ref,
-             "up": gout_up_ref, "down": gout_down_ref}
     masks = _pair_masks(ti, tj, height, width)
 
     gcol = [gout_cur_ref[c] for c in range(C)]     # identity term
     gv = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(6)]
 
-    gshift = {"right": _shift_left, "left": _shift_right,
-              "down": _shift_up, "up": _shift_down}
-
-    for direction in ("right", "left", "down", "up"):
-        nref = nbrs[direction]
+    for direction, nref, gref in (("right", right_ref, gout_right_ref),
+                                  ("down", down_ref, gout_down_ref)):
         nbr = [nref[k] for k in range(P)]
-        a, b, pax, pay, pbx, pby, cur_is_a = _pass_args(
-            cur, nbr, direction, ti, tj, C)
+        a, b, pax, pay, pbx, pby = _pass_args(cur, nbr, direction, ti, tj, C)
         m = masks[direction]
 
-        # pair cotangents: gout at both sides of the pair, masked
-        g_cur = [jnp.where(m, gout_cur_ref[c], 0.0) for c in range(C)]
-        g_nbr = [jnp.where(m, gshift[direction](gout_cur_ref[c],
-                                                gnbrs[direction][c]), 0.0)
-                 for c in range(C)]
-        if cur_is_a:
-            g_a, g_b = g_cur, g_nbr
+        # pair cotangents: gout at both sides, masked by pair validity
+        g_a = [jnp.where(m, gout_cur_ref[c], 0.0) for c in range(C)]
+        if direction == "right":
+            g_b = [jnp.where(m, _shift_left(gout_cur_ref[c], gref[c]), 0.0)
+                   for c in range(C)]
         else:
-            g_a, g_b = g_nbr, g_cur
+            g_b = [jnp.where(m, _shift_up(gout_cur_ref[c], gref[c]), 0.0)
+                   for c in range(C)]
 
         def pair_fn(a_diff, b_diff):
             af = list(a)
@@ -251,12 +258,25 @@ def _bwd_kernel(C: int, height: int, width: int,
         b_diff = tuple(b[_V0 + k] for k in range(6)) + tuple(
             b[_C0 + c] for c in range(C))
         _, vjp = jax.vjp(pair_fn, a_diff, b_diff)
-        ga, gb = vjp((g_a, g_b))
-        gmine = ga if cur_is_a else gb
-        for k in range(6):
-            gv[k] = gv[k] + gmine[k]
-        for c in range(C):
-            gcol[c] = gcol[c] + gmine[6 + c]
+        ga, gb = vjp((list(g_a), list(g_b)))
+
+        # a-side shares land at cur pixels; b-side shares shift forward
+        # with the cross-tile carry.
+        hdir = direction == "right"
+        for k in range(D):
+            if hdir:
+                fill = jnp.where(tj > 0, hcarry[k], 0.0)
+                fwd = _shift_right_fill(gb[k], fill)
+                hcarry[k] = gb[k][:, -1:]
+            else:
+                fill = jnp.where(ti > 0, vcarry[tj, k], 0.0)
+                fwd = _shift_down_fill(gb[k], fill)
+                vcarry[tj, k] = gb[k][-1:, :]
+            share = ga[k] + fwd
+            if k < 6:
+                gv[k] = gv[k] + share
+            else:
+                gcol[k - 6] = gcol[k - 6] + share
 
     for c in range(C):
         gcol_ref[c] = gcol[c]
@@ -287,11 +307,9 @@ def _specs(P, gy, gx):
                             lambda i, j: (0, fi(i, j), fj(i, j)))
 
     cur = blk(lambda i, j: i, lambda i, j: j)
-    left = blk(lambda i, j: i, lambda i, j: jnp.maximum(j - 1, 0))
     right = blk(lambda i, j: i, lambda i, j: jnp.minimum(j + 1, gx - 1))
-    up = blk(lambda i, j: jnp.maximum(i - 1, 0), lambda i, j: j)
     down = blk(lambda i, j: jnp.minimum(i + 1, gy - 1), lambda i, j: j)
-    return [cur, left, right, up, down]
+    return [cur, right, down]
 
 
 def _aa_fwd_impl(color, idbuf, payload, interpret):
@@ -302,13 +320,15 @@ def _aa_fwd_impl(color, idbuf, payload, interpret):
     packed = _pack(color, idbuf, payload, ph, pw)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C, h, w),
+        functools.partial(_fwd_kernel, C, gx, h, w),
         grid=(gy, gx),
-        in_specs=_specs(P, gy, gx) * 1,
+        in_specs=_specs(P, gy, gx),
         out_specs=pl.BlockSpec((C, TILE_H, TILE_W), lambda i, j: (0, i, j)),
         out_shape=jax.ShapeDtypeStruct((C, ph, pw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, TILE_H, 1), jnp.float32),
+                        pltpu.VMEM((gx, C, 1, TILE_W), jnp.float32)],
         interpret=interpret,
-    )(packed, packed, packed, packed, packed)
+    )(packed, packed, packed)
     return jnp.moveaxis(out[:, :h, :w], 0, -1)
 
 
@@ -333,17 +353,19 @@ def _aa_vjp_bwd(interpret, res, g):
                                             (0, pw - w)))
 
     gspec = pl.BlockSpec((C, TILE_H, TILE_W), lambda i, j: (0, i, j))
+    D = 6 + C
     gcol, gverts = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, h, w),
+        functools.partial(_bwd_kernel, C, gx, h, w),
         grid=(gy, gx),
         in_specs=_specs(P, gy, gx) + _specs(C, gy, gx),
         out_specs=[gspec,
                    pl.BlockSpec((6, TILE_H, TILE_W), lambda i, j: (0, i, j))],
         out_shape=[jax.ShapeDtypeStruct((C, ph, pw), jnp.float32),
                    jax.ShapeDtypeStruct((6, ph, pw), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((D, TILE_H, 1), jnp.float32),
+                        pltpu.VMEM((gx, D, 1, TILE_W), jnp.float32)],
         interpret=interpret,
-    )(packed, packed, packed, packed, packed,
-      gout, gout, gout, gout, gout)
+    )(packed, packed, packed, gout, gout, gout)
 
     gcolor = jnp.moveaxis(gcol[:, :h, :w], 0, -1)
     gpayload = jnp.zeros_like(payload)
