@@ -285,20 +285,21 @@ def _bwd_kernel(C: int, gx: int, height: int, width: int,
 
 
 def _pack(color: Array, idbuf: Array, payload: Array, ph: int, pw: int):
-    """(C+11, ph, pw) packed planes, padded with id = -1."""
+    """(C+11, ph, pw) packed planes, padded with id = -1 (one fused
+    stack — per-plane pads fold into the stack write)."""
     h, w = idbuf.shape
     C = color.shape[-1]
-    planes = [idbuf.astype(jnp.float32), payload[2]]
-    planes += [payload[5 + k] for k in range(6)]
-    planes += [payload[11 + k] for k in range(3)]
-    planes += [color[..., c] for c in range(C)]
-    packed = jnp.stack(planes)
-    packed = jnp.pad(packed, ((0, 0), (0, ph - h), (0, pw - w)))
-    if ph > h or pw > w:
-        idp = jnp.pad(idbuf.astype(jnp.float32), ((0, ph - h), (0, pw - w)),
-                      constant_values=-1.0)
-        packed = packed.at[_ID].set(idp)
-    return packed
+    pad = ((0, ph - h), (0, pw - w))
+
+    def p0(x):
+        return jnp.pad(x, pad)
+
+    planes = [jnp.pad(idbuf.astype(jnp.float32), pad, constant_values=-1.0),
+              p0(payload[2])]
+    planes += [p0(payload[5 + k]) for k in range(6)]
+    planes += [p0(payload[11 + k]) for k in range(3)]
+    planes += [p0(color[..., c]) for c in range(C)]
+    return jnp.stack(planes)
 
 
 def _specs(P, gy, gx):
@@ -312,12 +313,10 @@ def _specs(P, gy, gx):
     return [cur, right, down]
 
 
-def _aa_fwd_impl(color, idbuf, payload, interpret):
-    h, w, C = color.shape
-    ph, pw = pad_resolution(h, w)
+def _aa_fwd_from_packed(packed, C, h, w, interpret):
+    ph, pw = packed.shape[1], packed.shape[2]
     gy, gx = ph // TILE_H, pw // TILE_W
     P = _C0 + C
-    packed = _pack(color, idbuf, payload, ph, pw)
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, C, gx, h, w),
@@ -332,23 +331,33 @@ def _aa_fwd_impl(color, idbuf, payload, interpret):
     return jnp.moveaxis(out[:, :h, :w], 0, -1)
 
 
+def _aa_fwd_impl(color, idbuf, payload, interpret):
+    h, w, C = color.shape
+    ph, pw = pad_resolution(h, w)
+    packed = _pack(color, idbuf, payload, ph, pw)
+    return _aa_fwd_from_packed(packed, C, h, w, interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _aa_core(color, idbuf, payload, interpret):
     return _aa_fwd_impl(color, idbuf, payload, interpret)
 
 
 def _aa_vjp_fwd(color, idbuf, payload, interpret):
-    return _aa_fwd_impl(color, idbuf, payload, interpret), (
-        color, idbuf, payload)
+    h, w, C = color.shape
+    ph, pw = pad_resolution(h, w)
+    packed = _pack(color, idbuf, payload, ph, pw)
+    out = _aa_fwd_from_packed(packed, C, h, w, interpret)
+    # the padded packed planes are the residual — the backward reuses
+    # them instead of re-packing
+    return out, (packed, h, w, C, payload.shape[0])
 
 
 def _aa_vjp_bwd(interpret, res, g):
-    color, idbuf, payload = res
-    h, w, C = color.shape
-    ph, pw = pad_resolution(h, w)
+    packed, h, w, C, n_payload = res
+    ph, pw = packed.shape[1], packed.shape[2]
     gy, gx = ph // TILE_H, pw // TILE_W
     P = _C0 + C
-    packed = _pack(color, idbuf, payload, ph, pw)
     gout = jnp.pad(jnp.moveaxis(g, -1, 0), ((0, 0), (0, ph - h),
                                             (0, pw - w)))
 
@@ -368,7 +377,7 @@ def _aa_vjp_bwd(interpret, res, g):
     )(packed, packed, packed, gout, gout, gout)
 
     gcolor = jnp.moveaxis(gcol[:, :h, :w], 0, -1)
-    gpayload = jnp.zeros_like(payload)
+    gpayload = jnp.zeros((n_payload, h, w), jnp.float32)
     gpayload = gpayload.at[5:11].set(gverts[:, :h, :w])
     return gcolor, None, gpayload
 

@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
     Bins, CHUNK, MAX_GLOBAL, N_EXTRA, N_PAYLOAD, REC, TILE_H, TILE_W,
-    pad_resolution)
+    _split3_bf16, pad_resolution)
 
 Array = jnp.ndarray
 
@@ -118,11 +118,11 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
                  ).astype(jnp.float32)
         g32 = jnp.zeros((REC, CHUNK), jnp.float32)
         for g in range(TILE_H):
-            oh = (col_f == entry[g:g + 1, :]).astype(jnp.float32)
-            g32 = g32 + jax.lax.dot_general(
-                cr_vmem[g], oh, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)        # (REC, CHUNK)
+            oh = (col_f == entry[g:g + 1, :]).astype(jnp.bfloat16)
+            for part in _split3_bf16(cr_vmem[g]):
+                g32 = g32 + jax.lax.dot_general(
+                    part, oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (REC, CHUNK)
 
         # pending-buffer accumulation: sum chunks shared across tiles in
         # VMEM; every chunk column range hits HBM exactly once, through a
@@ -183,11 +183,11 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
                      ).astype(jnp.float32)
             g32 = jnp.zeros((REC, CHUNK), jnp.float32)
             for g in range(TILE_H):
-                oh = (col_f == entry[g:g + 1, :]).astype(jnp.float32)
-                g32 = g32 + jax.lax.dot_general(
-                    cr_vmem[g], oh, (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+                oh = (col_f == entry[g:g + 1, :]).astype(jnp.bfloat16)
+                for part in _split3_bf16(cr_vmem[g]):
+                    g32 = g32 + jax.lax.dot_general(
+                        part, oh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
             cur = gglob_vmem[:, pl.ds(gb * CHUNK, CHUNK)]
             gglob_vmem[:, pl.ds(gb * CHUNK, CHUNK)] = cur + g32
 

@@ -373,6 +373,33 @@ def _merge_winner(acc, z_new, i_new):
     acc[1] = jnp.where(better, i_new, acc[1])
 
 
+def _split3_bf16(x):
+    """f32 -> three bf16 planes with x ~= hi + mid + lo to ~2^-24 rel.
+
+    A one-hot matmul against the three planes (one MXU pass each)
+    reconstructs the f32 gather exactly to f32 precision at roughly half
+    the cost of the multi-pass HIGHEST f32 emulation."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _onehot_gather(parts, oh):
+    """sum_i parts[i] @ oh with bf16 single-pass matmuls, f32 accumulate.
+
+    :param parts: three (REC, CHUNK) bf16 planes from _split3_bf16.
+    :param oh: (CHUNK, N) bf16 one-hot (exactly representable).
+    """
+    acc = None
+    for p in parts:
+        f = jax.lax.dot_general(p, oh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = f if acc is None else acc + f
+    return acc
+
+
 def _sched_dma(sched_col_ref, sorted_hbm, chunk_vmem, dma_sem, k):
     """DMA descriptor for the k-th scheduled bin chunk (4-slot rotation)."""
     col = pl.multiple_of(sched_col_ref[k], CHUNK)
@@ -564,15 +591,12 @@ def _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
         kslot = jax.lax.rem(s0 + ci, 4)
         chunk = jnp.where(cached, chunk_vmem[kslot],
                           bbuf_vmem[bslot])               # (REC, CHUNK)
+        parts = _split3_bf16(chunk)
         col_f = (col0 + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                  ).astype(jnp.float32)
         for g in range(TILE_H):
-            oh = (col_f == acci[g:g + 1, :]).astype(jnp.float32)
-            f_g = jax.lax.dot_general(
-                chunk, oh, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)       # (REC, TILE_W)
-            fvm[g] = fvm[g] + f_g
+            oh = (col_f == acci[g:g + 1, :]).astype(jnp.bfloat16)
+            fvm[g] = fvm[g] + _onehot_gather(parts, oh)   # (REC, TILE_W)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_b, 0)
@@ -586,16 +610,13 @@ def _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
                  & (ti <= blk_max))
         def _():
             gchunk = global_vmem[:, pl.ds(gb * CHUNK, CHUNK)]
+            parts = _split3_bf16(gchunk)
             col_f = (gbase + gb * CHUNK
                      + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                      ).astype(jnp.float32)
             for g in range(TILE_H):
-                oh = (col_f == acci[g:g + 1, :]).astype(jnp.float32)
-                f_g = jax.lax.dot_general(
-                    gchunk, oh, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                fvm[g] = fvm[g] + f_g
+                oh = (col_f == acci[g:g + 1, :]).astype(jnp.bfloat16)
+                fvm[g] = fvm[g] + _onehot_gather(parts, oh)
 
     # ---- dense payload evaluation from the gathered per-pixel records ----
     accz = acc[0]
