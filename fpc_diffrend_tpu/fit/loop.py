@@ -87,25 +87,33 @@ def loss_fn(params: dict, config: FitConfig, scene: Scene, batch: Batch,
 
     pix = jax.vmap(losses_mod.photometric_loss)(batch.ref, imgs).mean()
     # zero-weight regularizers are skipped structurally (config is static):
-    # saves their compute and avoids 0 * term keeping dead gradient paths
-    mel, lap, mnc = jax.vmap(
-        lambda v: losses_mod.mesh_regularizers(config, scene, v))(verts3)
-    reg = jnp.float32(0.0)
+    # saves their compute entirely — the reported metric is the WEIGHTED
+    # term, which is identically zero for an unweighted regularizer
+    from fpc_diffrend_tpu.ops import mesh_ops
+
+    zero = jnp.float32(0.0)
+    mel_m = lap_m = mnc_m = zero
     if config.weight_meshedge:
-        reg = reg + config.weight_meshedge * mel.mean()
+        mel = jax.vmap(lambda v: mesh_ops.mesh_edge_loss(
+            v, scene.edges, config.meshedge_target))(verts3)
+        mel_m = config.weight_meshedge * mel.mean()
     if config.weight_laplacian:
-        reg = reg + config.weight_laplacian * (lap ** 2).mean()
+        lap = jax.vmap(lambda v: mesh_ops.mesh_laplacian_smoothing(
+            v, scene.neighbor_src, scene.neighbor_dst,
+            scene.degree))(verts3)
+        lap_m = config.weight_laplacian * (lap ** 2).mean()
     if config.weight_normalconsistency:
-        reg = reg + config.weight_normalconsistency * mnc.mean()
+        mnc = jax.vmap(lambda v: mesh_ops.mesh_normal_consistency(
+            v, scene.faces, scene.edge_face_pairs))(verts3)
+        mnc_m = config.weight_normalconsistency * mnc.mean()
+    reg = mel_m + lap_m + mnc_m
     extra = losses_mod.staging_regularizers(config, params, batch.frame_idx,
                                             step)
     extra = extra + losses_mod.temporal_smoothness(config, params,
                                                    batch.frame_idx)
     total = pix + reg + extra
     metrics = {"loss": total, "pix": pix,
-               "mel": config.weight_meshedge * mel.mean(),
-               "lap": config.weight_laplacian * (lap ** 2).mean(),
-               "mnc": config.weight_normalconsistency * mnc.mean()}
+               "mel": mel_m, "lap": lap_m, "mnc": mnc_m}
     return total, metrics
 
 

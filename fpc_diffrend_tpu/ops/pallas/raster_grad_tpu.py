@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
     Bins, CHUNK, MAX_GLOBAL, N_EXTRA, N_PAYLOAD, REC, TILE_H, TILE_W,
-    _split3_bf16, pad_resolution)
+    _split3_bf16, pad_resolution, tiles_per_program)
 
 Array = jnp.ndarray
 
@@ -66,7 +66,7 @@ _W_EPS = 1e-9
 _AREA_EPS = 1e-12
 
 
-def _grad_kernel(gx: int, n_tiles: int, gbase: int,
+def _grad_kernel(gx: int, gy: int, pgx: int, mt: int, gbase: int,
                  # scalar prefetch
                  bin_start_ref, n_global_ref, gblk_ty_ref,
                  # inputs
@@ -76,16 +76,14 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
                  # scratch
                  cr_vmem, pend_vmem, gglob_vmem, pend_idx,
                  out_sem, global_sem):
+    """Each program covers ``mt`` horizontally adjacent tiles: per-program
+    dispatch and block-DMA issue overhead dominated the kernel at one
+    8x128 tile per program (only ~2-3us of real work per live tile)."""
     ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    tile_idx = ti * gx + tj
-
-    start = bin_start_ref[tile_idx]
-    end = bin_start_ref[tile_idx + 1]
-    count = end - start
+    pj = pl.program_id(1)
     n_global = n_global_ref[0]
 
-    @pl.when(tile_idx == 0)
+    @pl.when((ti == 0) & (pj == 0))
     def _():
         pend_idx[0] = -1    # column of the live pending buffer
         pend_idx[1] = 0     # live slot of the double buffer
@@ -99,86 +97,32 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
         any_glob = any_glob | ((gb * CHUNK < n_global)
                                & (gblk_ty_ref[0, gb] <= ti)
                                & (ti <= gblk_ty_ref[1, gb]))
-    work = (count > 0) | any_glob
 
-    @pl.when(work)
-    def _build_coeff_planes():
-        _grad_coeff_planes(ti, tj, u_ref, v_ref, extra_ref, gpl_ref, cr_vmem)
+    for sub in range(mt):
+        cols = slice(sub * TILE_W, (sub + 1) * TILE_W)
+        tj = pj * mt + sub
+        tile_idx = ti * gx + tj
+        start = bin_start_ref[tile_idx]
+        end = bin_start_ref[tile_idx + 1]
+        count = end - start
+        work = (count > 0) | any_glob
 
-    entry = entry_ref[:]                                   # (8, 128) f32
+        @pl.when(work)
+        def _build_coeff_planes():
+            _grad_coeff_planes(ti, tj, u_ref[:, cols], v_ref[:, cols],
+                               extra_ref[:, :, cols], gpl_ref[:, :, cols],
+                               cr_vmem)
 
-    # ---- binned chunks: one-hot MXU scatter, pending-buffer output ----
-    first_chunk = start // CHUNK
-    n_chunks = jnp.where(count > 0,
-                         (end - 1) // CHUNK - first_chunk + 1, 0)
+        entry = entry_ref[:, cols]                         # (8, 128) f32
 
-    def chunk_body(ci, _):
-        col0 = (first_chunk + ci) * CHUNK
-        col_f = (col0 + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-                 ).astype(jnp.float32)
-        g32 = jnp.zeros((REC, CHUNK), jnp.float32)
-        for g in range(TILE_H):
-            oh = (col_f == entry[g:g + 1, :]).astype(jnp.bfloat16)
-            for part in _split3_bf16(cr_vmem[g]):
-                g32 = g32 + jax.lax.dot_general(
-                    part, oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # (REC, CHUNK)
+        # ---- binned chunks: one-hot MXU scatter, pending-buffer out ----
+        first_chunk = start // CHUNK
+        n_chunks = jnp.where(count > 0,
+                             (end - 1) // CHUNK - first_chunk + 1, 0)
 
-        # pending-buffer accumulation: sum chunks shared across tiles in
-        # VMEM; every chunk column range hits HBM exactly once, through a
-        # double-buffered ASYNC write (the wait happens only when the
-        # slot is needed again, hiding the store latency behind the next
-        # tiles' compute).
-        same = col0 == pend_idx[0]
-        slot = pend_idx[1]
-
-        @pl.when(same)
-        def _():
-            pend_vmem[slot] = pend_vmem[slot] + g32
-
-        @pl.when(jnp.logical_not(same))
-        def _():
-            prev = pend_idx[0]
-            nxt = 1 - slot
-
-            @pl.when(prev >= 0)
-            def _():
-                prev_a = pl.multiple_of(prev, CHUNK)
-                pltpu.make_async_copy(
-                    pend_vmem.at[slot],
-                    grad_out_hbm.at[:, pl.ds(prev_a, CHUNK)],
-                    out_sem.at[slot]).start()
-                pend_idx[2 + slot] = prev
-
-            # drain any in-flight write from the slot we are reusing
-            inflight = pend_idx[2 + nxt]
-
-            @pl.when(inflight >= 0)
-            def _():
-                in_a = pl.multiple_of(inflight, CHUNK)
-                pltpu.make_async_copy(
-                    pend_vmem.at[nxt],
-                    grad_out_hbm.at[:, pl.ds(in_a, CHUNK)],
-                    out_sem.at[nxt]).wait()
-                pend_idx[2 + nxt] = -1
-
-            pend_vmem[nxt] = g32
-            pend_idx[0] = col0
-            pend_idx[1] = nxt
-
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-    # ---- global (oversized) records, row-range predicated ----
-    for gb in range(MAX_GLOBAL // CHUNK):
-        blk_min = gblk_ty_ref[0, gb]
-        blk_max = gblk_ty_ref[1, gb]
-
-        @pl.when((gb * CHUNK < n_global) & (blk_min <= ti)
-                 & (ti <= blk_max))
-        def _():
-            col_f = (gbase + gb * CHUNK
+        def chunk_body(ci, _, entry=entry, first_chunk=first_chunk):
+            col0 = (first_chunk + ci) * CHUNK
+            col_f = (col0
                      + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                      ).astype(jnp.float32)
             g32 = jnp.zeros((REC, CHUNK), jnp.float32)
@@ -187,12 +131,76 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
                 for part in _split3_bf16(cr_vmem[g]):
                     g32 = g32 + jax.lax.dot_general(
                         part, oh, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            cur = gglob_vmem[:, pl.ds(gb * CHUNK, CHUNK)]
-            gglob_vmem[:, pl.ds(gb * CHUNK, CHUNK)] = cur + g32
+                        preferred_element_type=jnp.float32)  # (REC, CHUNK)
+
+            # pending-buffer accumulation: sum chunks shared across tiles
+            # in VMEM; every chunk column range hits HBM exactly once,
+            # through a double-buffered ASYNC write (the wait happens only
+            # when the slot is reused, hiding the store latency).
+            same = col0 == pend_idx[0]
+            slot = pend_idx[1]
+
+            @pl.when(same)
+            def _():
+                pend_vmem[slot] = pend_vmem[slot] + g32
+
+            @pl.when(jnp.logical_not(same))
+            def _():
+                prev = pend_idx[0]
+                nxt = 1 - slot
+
+                @pl.when(prev >= 0)
+                def _():
+                    prev_a = pl.multiple_of(prev, CHUNK)
+                    pltpu.make_async_copy(
+                        pend_vmem.at[slot],
+                        grad_out_hbm.at[:, pl.ds(prev_a, CHUNK)],
+                        out_sem.at[slot]).start()
+                    pend_idx[2 + slot] = prev
+
+                # drain any in-flight write from the slot we are reusing
+                inflight = pend_idx[2 + nxt]
+
+                @pl.when(inflight >= 0)
+                def _():
+                    in_a = pl.multiple_of(inflight, CHUNK)
+                    pltpu.make_async_copy(
+                        pend_vmem.at[nxt],
+                        grad_out_hbm.at[:, pl.ds(in_a, CHUNK)],
+                        out_sem.at[nxt]).wait()
+                    pend_idx[2 + nxt] = -1
+
+                pend_vmem[nxt] = g32
+                pend_idx[0] = col0
+                pend_idx[1] = nxt
+
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        # ---- global (oversized) records, row-range predicated ----
+        for gb in range(MAX_GLOBAL // CHUNK):
+            blk_min = gblk_ty_ref[0, gb]
+            blk_max = gblk_ty_ref[1, gb]
+
+            @pl.when((gb * CHUNK < n_global) & (blk_min <= ti)
+                     & (ti <= blk_max))
+            def _(entry=entry):
+                col_f = (gbase + gb * CHUNK
+                         + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+                         ).astype(jnp.float32)
+                g32 = jnp.zeros((REC, CHUNK), jnp.float32)
+                for g in range(TILE_H):
+                    oh = (col_f == entry[g:g + 1, :]).astype(jnp.bfloat16)
+                    for part in _split3_bf16(cr_vmem[g]):
+                        g32 = g32 + jax.lax.dot_general(
+                            part, oh, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                cur = gglob_vmem[:, pl.ds(gb * CHUNK, CHUNK)]
+                gglob_vmem[:, pl.ds(gb * CHUNK, CHUNK)] = cur + g32
 
     # ---- final flush: live pending buffer + any in-flight writes ----
-    @pl.when(tile_idx == n_tiles - 1)
+    @pl.when((ti == gy - 1) & (pj == pgx - 1))
     def _():
         slot = pend_idx[1]
 
@@ -221,8 +229,11 @@ def _grad_kernel(gx: int, n_tiles: int, gbase: int,
         gw.wait()
 
 
-def _grad_coeff_planes(ti, tj, u_ref, v_ref, extra_ref, gpl_ref, cr_vmem):
-    """Dense per-pixel gradient-coefficient planes -> cr_vmem rows."""
+def _grad_coeff_planes(ti, tj, u, v, extra, gpl, cr_vmem):
+    """Dense per-pixel gradient-coefficient planes -> cr_vmem rows.
+
+    ``u``/``v`` are (TILE_H, TILE_W) values, ``extra``/``gpl`` the
+    matching (N, TILE_H, TILE_W) plane stacks (one sub-tile's slice)."""
     x = (tj * TILE_W
          + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
          ).astype(jnp.float32) + 0.5                       # (1, 128)
@@ -230,21 +241,19 @@ def _grad_coeff_planes(ti, tj, u_ref, v_ref, extra_ref, gpl_ref, cr_vmem):
          + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1), 0)
          ).astype(jnp.float32) + 0.5                       # (8, 1)
 
-    u = u_ref[:]
-    v = v_ref[:]
-    D = extra_ref[0]
-    iw0 = extra_ref[1]
-    iw1 = extra_ref[2]
-    iw2 = extra_ref[3]
-    du02 = extra_ref[4]
-    du12 = extra_ref[5]
-    dv02 = extra_ref[6]
-    dv12 = extra_ref[7]
-    gu_in = gpl_ref[0]
-    gv_in = gpl_ref[1]
-    gz = gpl_ref[2]
-    gtu = gpl_ref[3]
-    gtv = gpl_ref[4]
+    D = extra[0]
+    iw0 = extra[1]
+    iw1 = extra[2]
+    iw2 = extra[3]
+    du02 = extra[4]
+    du12 = extra[5]
+    dv02 = extra[6]
+    dv12 = extra[7]
+    gu_in = gpl[0]
+    gv_in = gpl[1]
+    gz = gpl[2]
+    gtu = gpl[3]
+    gtv = gpl[4]
 
     d0 = u * D
     d1 = v * D
@@ -268,8 +277,8 @@ def _grad_coeff_planes(ti, tj, u_ref, v_ref, extra_ref, gpl_ref, cr_vmem):
          zero,
          -gd0 * d0 * iw0, -gd1 * d1 * iw1, -gd2 * d2 * iw2,
          gtu * u, gtv * u, gtu * v, gtv * v, gtu * wp, gtv * wp,
-         gpl_ref[5], gpl_ref[6], gpl_ref[7],
-         gpl_ref[8], gpl_ref[9], gpl_ref[10],
+         gpl[5], gpl[6], gpl[7],
+         gpl[8], gpl[9], gpl[10],
          zero, zero, zero, zero]                           # 32 x (8, 128)
 
     # re-layout per tile row: cr_vmem[g] (REC, 128px) with C_k on sublanes
@@ -301,7 +310,9 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
     """
     ph, pw = pad_resolution(height, width)
     gy, gx = ph // TILE_H, pw // TILE_W
-    n_tiles = gy * gx
+    mt = tiles_per_program(gx)
+    pgx = gx // mt
+    bw = mt * TILE_W
 
     entp = jnp.pad(entry, ((0, ph - height), (0, pw - width)),
                    constant_values=-1.0)
@@ -314,18 +325,18 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
     gbase = int(P)
     grad_init = jnp.zeros((REC, P), jnp.float32)
 
-    img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))
+    img = lambda: pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(gy, gx),
+        grid=(gy, pgx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # grad init (aliased)
             img(),                                   # entry
             img(),                                   # u
             img(),                                   # v
-            pl.BlockSpec((N_EXTRA, TILE_H, TILE_W),
+            pl.BlockSpec((N_EXTRA, TILE_H, bw),
                          lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((N_PAYLOAD, TILE_H, TILE_W),
+            pl.BlockSpec((N_PAYLOAD, TILE_H, bw),
                          lambda i, j, *_: (0, i, j)),
         ],
         out_specs=[
@@ -343,7 +354,7 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
     )
 
     grad_pairs_t, grad_global_t = pl.pallas_call(
-        functools.partial(_grad_kernel, gx, n_tiles, gbase),
+        functools.partial(_grad_kernel, gx, gy, pgx, mt, gbase),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((REC, P), jnp.float32),

@@ -285,6 +285,18 @@ def pad_resolution(height: int, width: int):
     return ph, pw
 
 
+def tiles_per_program(gx: int) -> int:
+    """Horizontally adjacent tiles handled by one kernel program.
+
+    Per-program dispatch + block-DMA issue overhead is ~comparable to a
+    single tile's real work, so programs cover several tiles; must
+    divide the tile-column count."""
+    for cand in (8, 5, 4, 2):
+        if gx % cand == 0:
+            return cand
+    return 1
+
+
 def chunk_schedule(bin_start: Array, n_cols: int, n_tiles: int):
     """Flattened (tile, chunk) DMA schedule for cross-tile prefetching.
 
@@ -409,7 +421,7 @@ def _sched_dma(sched_col_ref, sorted_hbm, chunk_vmem, dma_sem, k):
         chunk_vmem.at[slot], dma_sem.at[slot])
 
 
-def _fused_kernel(gx: int, n_tiles: int, gbase: int,
+def _fused_kernel(gx: int, gy: int, mt: int, gbase: int,
                   # scalar prefetch
                   bin_start_ref, n_global_ref, gblk_ty_ref,
                   sched_start_ref, sched_col_ref,
@@ -439,19 +451,13 @@ def _fused_kernel(gx: int, n_tiles: int, gbase: int,
     survive untouched through phase B (the cached path).
     """
     ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    tile_idx = ti * gx + tj
-
-    start = bin_start_ref[tile_idx]
-    end = bin_start_ref[tile_idx + 1]
-    count = end - start
+    pj = pl.program_id(1)
     n_global = n_global_ref[0]
-    s0 = sched_start_ref[tile_idx]
-    n_sched = sched_start_ref[n_tiles]
+    n_sched = sched_start_ref[gx * gy]
 
     # First program: load the (small) global-triangle list into persistent
     # VMEM and bootstrap the chunk prefetch pipeline.
-    @pl.when(tile_idx == 0)
+    @pl.when((ti == 0) & (pj == 0))
     def _():
         @pl.when(n_global > 0)
         def _():
@@ -475,33 +481,47 @@ def _fused_kernel(gx: int, n_tiles: int, gbase: int,
         any_glob = any_glob | ((gb * CHUNK < n_global)
                                & (gblk_ty_ref[0, gb] <= ti)
                                & (ti <= gblk_ty_ref[1, gb]))
-    work = (count > 0) | any_glob
 
-    # fast path: empty tile — constant outputs, skip both phases entirely
-    @pl.when(jnp.logical_not(work))
-    def _():
-        id_out_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-        entry_out_ref[:] = jnp.full((TILE_H, TILE_W), -1.0)
-        for i in range(N_PAYLOAD):
-            payload_out_ref[i] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        for i in range(N_EXTRA):
-            extra_out_ref[i] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    for sub in range(mt):
+        cols = slice(sub * TILE_W, (sub + 1) * TILE_W)
+        tj = pj * mt + sub
+        tile_idx = ti * gx + tj
+        start = bin_start_ref[tile_idx]
+        end = bin_start_ref[tile_idx + 1]
+        count = end - start
+        s0 = sched_start_ref[tile_idx]
+        work = (count > 0) | any_glob
 
-    @pl.when(work)
-    def _do_tile():
-        _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
-                         gblk_ty_ref, sched_col_ref, s0, n_sched, sorted_hbm,
-                         id_out_ref, entry_out_ref, payload_out_ref,
-                         extra_out_ref, chunk_vmem, global_vmem, acc, fvm,
-                         bbuf_vmem, dma_sem, bsem)
+        # fast path: empty tile — constant outputs, skip both phases
+        @pl.when(jnp.logical_not(work))
+        def _(cols=cols):
+            id_out_ref[:, cols] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+            entry_out_ref[:, cols] = jnp.full((TILE_H, TILE_W), -1.0)
+            for i in range(N_PAYLOAD):
+                payload_out_ref[i, :, cols] = jnp.zeros((TILE_H, TILE_W),
+                                                        jnp.float32)
+            for i in range(N_EXTRA):
+                extra_out_ref[i, :, cols] = jnp.zeros((TILE_H, TILE_W),
+                                                      jnp.float32)
+
+        @pl.when(work)
+        def _do_tile(cols=cols, tj=tj, start=start, end=end, count=count,
+                     s0=s0):
+            _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count,
+                             n_global, gblk_ty_ref, sched_col_ref, s0,
+                             n_sched, sorted_hbm,
+                             id_out_ref, entry_out_ref, payload_out_ref,
+                             extra_out_ref, chunk_vmem, global_vmem, acc,
+                             fvm, bbuf_vmem, dma_sem, bsem)
 
 
-def _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
+def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
                      gblk_ty_ref, sched_col_ref, s0, n_sched, sorted_hbm,
                      id_out_ref, entry_out_ref, payload_out_ref,
                      extra_out_ref, chunk_vmem, global_vmem, acc, fvm,
                      bbuf_vmem, dma_sem, bsem):
-    """Both kernel phases + payload resolve for one non-empty tile."""
+    """Both kernel phases + payload resolve for one non-empty tile
+    (``cols`` = this sub-tile's lane slice of the program's block)."""
     # x along lanes (shared by all tile rows).
     x_row = (tj * TILE_W
              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
@@ -669,14 +689,15 @@ def _fused_tile_body(gx, gbase, ti, tj, start, end, count, n_global,
 
     for i in range(N_PAYLOAD):
         if i == 2:
-            payload_out_ref[i] = jnp.where(hit, accz, 0.0)
+            payload_out_ref[i, :, cols] = jnp.where(hit, accz, 0.0)
         else:
-            payload_out_ref[i] = jnp.concatenate(pay_rows[i], axis=0)
+            payload_out_ref[i, :, cols] = jnp.concatenate(pay_rows[i],
+                                                          axis=0)
     for i in range(N_EXTRA):
-        extra_out_ref[i] = jnp.concatenate(ext_rows[i], axis=0)
+        extra_out_ref[i, :, cols] = jnp.concatenate(ext_rows[i], axis=0)
     tidp = jnp.concatenate(tid_rows, axis=0)
-    id_out_ref[:] = jnp.where(hit, tidp, -1.0).astype(jnp.int32)
-    entry_out_ref[:] = jnp.where(hit, acci, -1.0)
+    id_out_ref[:, cols] = jnp.where(hit, tidp, -1.0).astype(jnp.int32)
+    entry_out_ref[:, cols] = jnp.where(hit, acci, -1.0)
 
 
 # ----------------------------------------------------------------------------
@@ -716,12 +737,15 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
     ph, pw = pad_resolution(height, width)
     gy, gx = ph // TILE_H, pw // TILE_W
     n_tiles = gy * gx
+    mt = tiles_per_program(gx)
+    pgx = gx // mt
+    bw = mt * TILE_W
     gbase = int(bins.sorted_rec_t.shape[1])
     sched_start, sched_col = chunk_schedule(bins.bin_start, gbase, n_tiles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(gy, gx),
+        grid=(gy, pgx),
         in_specs=[
             # Force HBM: bins are streamed via manual DMA, and VMEM
             # placement would impose (8, 128) tiling on the narrow rows.
@@ -729,11 +753,11 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((N_PAYLOAD, TILE_H, TILE_W),
+            pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((N_PAYLOAD, TILE_H, bw),
                          lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((N_EXTRA, TILE_H, TILE_W),
+            pl.BlockSpec((N_EXTRA, TILE_H, bw),
                          lambda i, j, *_: (0, i, j)),
         ],
         scratch_shapes=[
@@ -749,7 +773,7 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
     )
 
     idbuf, entry, payload, extra = pl.pallas_call(
-        functools.partial(_fused_kernel, gx, n_tiles, gbase),
+        functools.partial(_fused_kernel, gx, gy, mt, gbase),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),

@@ -244,15 +244,15 @@ def _prep(tex: Array, texc: Array, boundary_mode: str):
             geom)
 
 
-def _img_spec(gx):
-    return pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))
+def _img_spec(bw):
+    return pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j))
 
 
 # ----------------------------------------------------------------------------
 # Kernels
 # ----------------------------------------------------------------------------
 
-def _fwd_kernel(C: int, gx: int, n_tiles: int,
+def _fwd_kernel(C: int, gx: int, mt: int,
                 # scalar prefetch
                 t0r_ref, c0_ref, live_ref, bg_ref,
                 # inputs
@@ -261,42 +261,47 @@ def _fwd_kernel(C: int, gx: int, n_tiles: int,
                 *refs):
     out_refs = refs[:C]
     tex_vmem, sem = refs[C], refs[C + 1]
-    tile = pl.program_id(0) * gx + pl.program_id(1)
+    ti = pl.program_id(0)
+    pj = pl.program_id(1)
 
-    @pl.when(tile == 0)
+    @pl.when((ti == 0) & (pj == 0))
     def _():
         dma = pltpu.make_async_copy(tex_hbm, tex_vmem, sem)
         dma.start()
         dma.wait()
 
-    live = live_ref[tile] > 0
+    for s in range(mt):
+        cols = slice(s * TILE_W, (s + 1) * TILE_W)
+        tile = ti * gx + pj * mt + s
+        live = live_ref[tile] > 0
 
-    @pl.when(live)
-    def _():
-        c0 = pl.multiple_of(c0_ref[tile], TILE_W)
-        rows = [[] for _ in range(C)]
-        for r in range(TILE_H):
-            t0r = pl.multiple_of(t0r_ref[tile * TILE_H + r], TILE_H)
-            ltr = jnp.clip(lt_ref[r:r + 1, :] - t0r.astype(jnp.float32),
-                           0.0, SUB_H - 1.001)
-            wx = _wrow(ls_ref[r:r + 1, :], PATCH_W)     # (PW, 128)
-            wy = _wrow(ltr, SUB_H)                      # (SUB_H, 128)
+        @pl.when(live)
+        def _(cols=cols, tile=tile):
+            c0 = pl.multiple_of(c0_ref[tile], TILE_W)
+            rows = [[] for _ in range(C)]
+            for r in range(TILE_H):
+                t0r = pl.multiple_of(t0r_ref[tile * TILE_H + r], TILE_H)
+                ltr = jnp.clip(
+                    lt_ref[r:r + 1, cols] - t0r.astype(jnp.float32),
+                    0.0, SUB_H - 1.001)
+                wx = _wrow(ls_ref[r:r + 1, cols], PATCH_W)  # (PW, 128)
+                wy = _wrow(ltr, SUB_H)                      # (SUB_H, 128)
+                for c in range(C):
+                    sub = tex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
+                    b = jnp.dot(sub, wx,
+                                preferred_element_type=jnp.float32,
+                                precision=PRECISION)        # (SUB_H, 128)
+                    rows[c].append(jnp.sum(wy * b, axis=0, keepdims=True))
             for c in range(C):
-                sub = tex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
-                b = jnp.dot(sub, wx,
-                            preferred_element_type=jnp.float32,
-                            precision=PRECISION)        # (SUB_H, 128)
-                rows[c].append(jnp.sum(wy * b, axis=0, keepdims=True))
-        for c in range(C):
-            out_refs[c][:] = jnp.concatenate(rows[c], axis=0)
+                out_refs[c][:, cols] = jnp.concatenate(rows[c], axis=0)
 
-    @pl.when(jnp.logical_not(live))
-    def _():
-        for c in range(C):
-            out_refs[c][:] = jnp.full((TILE_H, TILE_W), bg_ref[c])
+        @pl.when(jnp.logical_not(live))
+        def _(cols=cols):
+            for c in range(C):
+                out_refs[c][:, cols] = jnp.full((TILE_H, TILE_W), bg_ref[c])
 
 
-def _bwd_kernel(C: int, gx: int, n_tiles: int,
+def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                 # scalar prefetch
                 t0r_ref, c0_ref, live_ref,
                 # inputs
@@ -306,9 +311,10 @@ def _bwd_kernel(C: int, gx: int, n_tiles: int,
     g_refs = refs[:C]
     gs_ref, gt_ref, gtex_out_hbm = refs[C], refs[C + 1], refs[C + 2]
     tex_vmem, gtex_vmem, sem, out_sem = refs[C + 3:C + 7]
-    tile = pl.program_id(0) * gx + pl.program_id(1)
+    ti = pl.program_id(0)
+    pj = pl.program_id(1)
 
-    @pl.when(tile == 0)
+    @pl.when((ti == 0) & (pj == 0))
     def _():
         dma = pltpu.make_async_copy(tex_hbm, tex_vmem, sem)
         dma.start()
@@ -316,55 +322,61 @@ def _bwd_kernel(C: int, gx: int, n_tiles: int,
             gtex_vmem[c] = jnp.zeros_like(gtex_vmem[c])
         dma.wait()
 
-    live = live_ref[tile] > 0
+    for s in range(mt):
+        cols = slice(s * TILE_W, (s + 1) * TILE_W)
+        tile = ti * gx + pj * mt + s
+        live = live_ref[tile] > 0
 
-    @pl.when(live)
-    def _():
-        c0 = pl.multiple_of(c0_ref[tile], TILE_W)
-        gs_rows = []
-        gt_rows = []
-        for r in range(TILE_H):
-            t0r = pl.multiple_of(t0r_ref[tile * TILE_H + r], TILE_H)
-            lsr = ls_ref[r:r + 1, :]
-            ltr = jnp.clip(lt_ref[r:r + 1, :] - t0r.astype(jnp.float32),
-                           0.0, SUB_H - 1.001)
-            wx = _wrow(lsr, PATCH_W)                    # (PW, 128)
-            wy = _wrow(ltr, SUB_H)                      # (SUB_H, 128)
-            dwx = _dwrow(lsr, PATCH_W)
-            dwy = _dwrow(ltr, SUB_H)
-            gs_acc = jnp.zeros((1, TILE_W), jnp.float32)
-            gt_acc = jnp.zeros((1, TILE_W), jnp.float32)
-            for c in range(C):
-                g = g_refs[c][r:r + 1, :]               # (1, 128)
-                sub = tex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
-                # texture gradient: gsub = (wy * g) @ wx^T, accumulated
-                # straight into the resident gradient plane
-                gsub = jax.lax.dot_general(
-                    wy * g, wx, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=PRECISION)
-                cur = gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
-                gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)] = (
-                    cur + gsub)
-                # coordinate gradients
-                b = jnp.dot(sub, wx,
-                            preferred_element_type=jnp.float32,
-                            precision=PRECISION)        # (SUB_H, 128)
-                b2 = jnp.dot(sub, dwx,
-                             preferred_element_type=jnp.float32,
-                             precision=PRECISION)
-                gs_acc += jnp.sum(wy * b2, axis=0, keepdims=True) * g
-                gt_acc += jnp.sum(dwy * b, axis=0, keepdims=True) * g
-            gs_rows.append(gs_acc)
-            gt_rows.append(gt_acc)
-        gs_ref[:] = jnp.concatenate(gs_rows, axis=0)
-        gt_ref[:] = jnp.concatenate(gt_rows, axis=0)
+        @pl.when(live)
+        def _(cols=cols, tile=tile):
+            c0 = pl.multiple_of(c0_ref[tile], TILE_W)
+            gs_rows = []
+            gt_rows = []
+            for r in range(TILE_H):
+                t0r = pl.multiple_of(t0r_ref[tile * TILE_H + r], TILE_H)
+                lsr = ls_ref[r:r + 1, cols]
+                ltr = jnp.clip(
+                    lt_ref[r:r + 1, cols] - t0r.astype(jnp.float32),
+                    0.0, SUB_H - 1.001)
+                wx = _wrow(lsr, PATCH_W)                    # (PW, 128)
+                wy = _wrow(ltr, SUB_H)                      # (SUB_H, 128)
+                dwx = _dwrow(lsr, PATCH_W)
+                dwy = _dwrow(ltr, SUB_H)
+                gs_acc = jnp.zeros((1, TILE_W), jnp.float32)
+                gt_acc = jnp.zeros((1, TILE_W), jnp.float32)
+                for c in range(C):
+                    g = g_refs[c][r:r + 1, cols]            # (1, 128)
+                    sub = tex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
+                    # texture gradient: gsub = (wy * g) @ wx^T, accumulated
+                    # straight into the resident gradient plane
+                    gsub = jax.lax.dot_general(
+                        wy * g, wx,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=PRECISION)
+                    cur = gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
+                    gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)] = (
+                        cur + gsub)
+                    # coordinate gradients
+                    b = jnp.dot(sub, wx,
+                                preferred_element_type=jnp.float32,
+                                precision=PRECISION)        # (SUB_H, 128)
+                    b2 = jnp.dot(sub, dwx,
+                                 preferred_element_type=jnp.float32,
+                                 precision=PRECISION)
+                    gs_acc += jnp.sum(wy * b2, axis=0, keepdims=True) * g
+                    gt_acc += jnp.sum(dwy * b, axis=0, keepdims=True) * g
+                gs_rows.append(gs_acc)
+                gt_rows.append(gt_acc)
+            gs_ref[:, cols] = jnp.concatenate(gs_rows, axis=0)
+            gt_ref[:, cols] = jnp.concatenate(gt_rows, axis=0)
 
-    @pl.when(jnp.logical_not(live))
-    def _():
-        gs_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        gt_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        @pl.when(jnp.logical_not(live))
+        def _(cols=cols):
+            gs_ref[:, cols] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            gt_ref[:, cols] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
-    @pl.when(tile == n_tiles - 1)
+    @pl.when((ti == gy - 1) & (pj == pgx - 1))
     def _():
         dma = pltpu.make_async_copy(gtex_vmem, gtex_out_hbm, out_sem)
         dma.start()
@@ -390,20 +402,22 @@ def _texture_fwd_impl(tex, texc, boundary_mode, interpret):
     (tex_planes, ls, lt, t0r, c0, live, _s_in, _t_in,
      geom) = _prep(tex3, texc, boundary_mode)
     th, tw, C, he, we, h, w, ph, pw, gy, gx = geom
-    n_tiles = gy * gx
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import tiles_per_program
+    mt = tiles_per_program(gx)
+    pgx, bw = gx // mt, mt * TILE_W
     bg = _background_sample(tex3, boundary_mode)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(gy, gx),
+        grid=(gy, pgx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
-                  _img_spec(gx), _img_spec(gx)],
-        out_specs=[_img_spec(gx)] * C,
+                  _img_spec(bw), _img_spec(bw)],
+        out_specs=[_img_spec(bw)] * C,
         scratch_shapes=[pltpu.VMEM((C, he, we), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, C, gx, n_tiles),
+        functools.partial(_fwd_kernel, C, gx, mt),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32)
                    for _ in range(C)],
@@ -432,7 +446,9 @@ def _texture_vjp_bwd(boundary_mode, interpret, res, g):
     (tex_planes, ls, lt, t0r, c0, _live, s_in, t_in,
      geom) = _prep(tex3, texc, boundary_mode)
     th, tw, C, he, we, h, w, ph, pw, gy, gx = geom
-    n_tiles = gy * gx
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import tiles_per_program
+    mt = tiles_per_program(gx)
+    pgx, bw = gx // mt, mt * TILE_W
 
     gpad = jnp.pad(g3, ((0, ph - h), (0, pw - w), (0, 0)))
     g4 = gpad.reshape(gy, TILE_H, gx, TILE_W, C)
@@ -444,11 +460,11 @@ def _texture_vjp_bwd(boundary_mode, interpret, res, g):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(gy, gx),
+        grid=(gy, pgx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
-                  _img_spec(gx), _img_spec(gx)]
-        + [_img_spec(gx)] * C,
-        out_specs=[_img_spec(gx), _img_spec(gx),
+                  _img_spec(bw), _img_spec(bw)]
+        + [_img_spec(bw)] * C,
+        out_specs=[_img_spec(bw), _img_spec(bw),
                    pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[pltpu.VMEM((C, he, we), jnp.float32),
                         pltpu.VMEM((C, he, we), jnp.float32),
@@ -456,7 +472,7 @@ def _texture_vjp_bwd(boundary_mode, interpret, res, g):
                         pltpu.SemaphoreType.DMA],
     )
     gs_img, gt_img, gtex_planes = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, gx, n_tiles),
+        functools.partial(_bwd_kernel, C, gx, gy, pgx, mt),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32),
                    jax.ShapeDtypeStruct((ph, pw), jnp.float32),
