@@ -310,7 +310,7 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
     """
     ph, pw = pad_resolution(height, width)
     gy, gx = ph // TILE_H, pw // TILE_W
-    mt = tiles_per_program(gx)
+    mt = tiles_per_program(gx, "grad")
     pgx = gx // mt
     bw = mt * TILE_W
 

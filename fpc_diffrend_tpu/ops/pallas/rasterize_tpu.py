@@ -35,6 +35,7 @@ z-range culled to [-1, 1], nearest-z wins.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -285,13 +286,22 @@ def pad_resolution(height: int, width: int):
     return ph, pw
 
 
-def tiles_per_program(gx: int) -> int:
+def tiles_per_program(gx: int, kind: str = "fwd") -> int:
     """Horizontally adjacent tiles handled by one kernel program.
 
     Per-program dispatch + block-DMA issue overhead is ~comparable to a
-    single tile's real work, so programs cover several tiles; must
-    divide the tile-column count."""
-    for cand in (8, 5, 4, 2):
+    single tile's real work for the scatter-style kernels (grad,
+    texture), so those cover several tiles per program. The fused
+    forward kernel is measurably FASTER at one tile per program (its
+    chunk-prefetch pipeline already hides dispatch, and wide output
+    blocks cost VMEM); measured on v5e at the 1600x1200 bench.
+    The returned count must divide the tile-column count. Env override
+    ``FPC_MT_FWD`` / ``FPC_MT_GRAD`` / ``FPC_MT_TEX`` for tuning."""
+    env = os.environ.get(f"FPC_MT_{kind.upper()}")
+    prefer = {"fwd": 1, "grad": 8, "tex": 8}[kind]
+    if env is not None:
+        prefer = int(env)
+    for cand in range(min(prefer, gx), 0, -1):
         if gx % cand == 0:
             return cand
     return 1
@@ -737,7 +747,7 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
     ph, pw = pad_resolution(height, width)
     gy, gx = ph // TILE_H, pw // TILE_W
     n_tiles = gy * gx
-    mt = tiles_per_program(gx)
+    mt = tiles_per_program(gx, "fwd")
     pgx = gx // mt
     bw = mt * TILE_W
     gbase = int(bins.sorted_rec_t.shape[1])

@@ -403,7 +403,7 @@ def _texture_fwd_impl(tex, texc, boundary_mode, interpret):
      geom) = _prep(tex3, texc, boundary_mode)
     th, tw, C, he, we, h, w, ph, pw, gy, gx = geom
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import tiles_per_program
-    mt = tiles_per_program(gx)
+    mt = tiles_per_program(gx, "tex")
     pgx, bw = gx // mt, mt * TILE_W
     bg = _background_sample(tex3, boundary_mode)
 
@@ -447,7 +447,7 @@ def _texture_vjp_bwd(boundary_mode, interpret, res, g):
      geom) = _prep(tex3, texc, boundary_mode)
     th, tw, C, he, we, h, w, ph, pw, gy, gx = geom
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import tiles_per_program
-    mt = tiles_per_program(gx)
+    mt = tiles_per_program(gx, "tex")
     pgx, bw = gx // mt, mt * TILE_W
 
     gpad = jnp.pad(g3, ((0, ph - h), (0, pw - w), (0, 0)))
