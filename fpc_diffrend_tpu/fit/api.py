@@ -94,7 +94,7 @@ def measure_raster_health(config: FitConfig, scene, params) -> dict:
 def autotune_caps(config: FitConfig, scene, params) -> FitConfig:
     """Resolve pair_cap == 0 (auto) from measured scene statistics.
 
-    The cap is sized at 1.5x the measured bin-entry count (pose and
+    The cap is sized at 1.25x the measured bin-entry count (pose and
     expression changes during the fit move triangles across tile
     boundaries) rounded up to a whole chunk; overflow of the oversized-
     triangle list aborts immediately rather than training with silently
@@ -110,7 +110,7 @@ def autotune_caps(config: FitConfig, scene, params) -> FitConfig:
             f"raster global-list overflow ({health['global_overflow']} "
             "oversized triangles dropped) — scene exceeds MAX_GLOBAL; "
             "reduce triangle size or raise the cap")
-    cap = max(int(health["n_valid_pairs"] * 1.5), 1)
+    cap = max(int(health["n_valid_pairs"] * 1.25), 1)
     cap = (cap + 127) // 128 * 128
     print(f"[autotune] pair_cap={cap} (measured {health['n_valid_pairs']} "
           f"bin entries, {health['n_global']} global)", flush=True)

@@ -126,12 +126,13 @@ def _grad_kernel(gx: int, gy: int, pgx: int, mt: int, gbase: int,
                      + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                      ).astype(jnp.float32)
             g32 = jnp.zeros((REC, CHUNK), jnp.float32)
-            for g in range(TILE_H):
-                oh = (col_f == entry[g:g + 1, :]).astype(jnp.bfloat16)
-                for part in _split3_bf16(cr_vmem[g]):
-                    g32 = g32 + jax.lax.dot_general(
-                        part, oh, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (REC, CHUNK)
+            if True:
+                for g in range(TILE_H):
+                    oh = (col_f == entry[g:g + 1, :]).astype(jnp.bfloat16)
+                    for part in _split3_bf16(cr_vmem[g]):
+                        g32 = g32 + jax.lax.dot_general(
+                            part, oh, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (REC, CHUNK)
 
             # pending-buffer accumulation: sum chunks shared across tiles
             # in VMEM; every chunk column range hits HBM exactly once,
@@ -314,11 +315,16 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
     pgx = gx // mt
     bw = mt * TILE_W
 
-    entp = jnp.pad(entry, ((0, ph - height), (0, pw - width)),
-                   constant_values=-1.0)
-    up = jnp.pad(u, ((0, ph - height), (0, pw - width)))
-    vp = jnp.pad(v, ((0, ph - height), (0, pw - width)))
-    exp_ = jnp.pad(extra, ((0, 0), (0, ph - height), (0, pw - width)))
+    # entry/u/v/extra may arrive pre-padded from the forward (its kernel
+    # emits (ph, pw) planes; see rasterize_fused fwd) — skip the copy.
+    if entry.shape == (ph, pw):
+        entp, up, vp, exp_ = entry, u, v, extra
+    else:
+        entp = jnp.pad(entry, ((0, ph - height), (0, pw - width)),
+                       constant_values=-1.0)
+        up = jnp.pad(u, ((0, ph - height), (0, pw - width)))
+        vp = jnp.pad(v, ((0, ph - height), (0, pw - width)))
+        exp_ = jnp.pad(extra, ((0, 0), (0, ph - height), (0, pw - width)))
     gpl = jnp.pad(g_payload, ((0, 0), (0, ph - height), (0, pw - width)))
 
     P = bins.sorted_rec_t.shape[1]
@@ -381,13 +387,23 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
     # but interpret mode leaves unwritten output regions as garbage).
     n_live = bins.bin_start[-1]
     live = (jnp.arange(pair_cap, dtype=jnp.int32) < n_live)[:, None]
+
+    # Record slots 12 (tri id) and 28-31 (pad) never carry gradient —
+    # fold only the 27 live columns (the fold is the stage's dominant
+    # XLA cost, linear in folded elements).
+    def live_cols(m):
+        return jnp.concatenate([m[:, :12], m[:, 13:28]], axis=1)
+
     grad_both = jax.ops.segment_sum(
-        jnp.where(live, grad_pairs_t.T[:pair_cap], 0.0), seg,
+        live_cols(jnp.where(live, grad_pairs_t.T[:pair_cap], 0.0)), seg,
         num_segments=n_tris + 1)[:n_tris]
 
     # Oversized-triangle contributions.
     gidx = jnp.minimum(bins.global_idx, n_tris)
-    grad_gboth = jax.ops.segment_sum(grad_global_t.T, gidx,
+    grad_gboth = jax.ops.segment_sum(live_cols(grad_global_t.T), gidx,
                                      num_segments=n_tris + 1)[:n_tris]
-    total = grad_both + grad_gboth
+    t27 = grad_both + grad_gboth
+    z1 = jnp.zeros((n_tris, 1), jnp.float32)
+    total = jnp.concatenate([t27[:, :12], z1, t27[:, 12:],
+                             jnp.zeros((n_tris, 4), jnp.float32)], axis=1)
     return total[:, :16], total[:, 16:]

@@ -734,7 +734,8 @@ def bin_scene(pos_clip: Array, faces: Array, height: int, width: int,
 
 
 def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              padded: bool = False):
     """(idbuf (H, W) i32, payload (N_PAYLOAD, H, W) f32, entry (H, W) f32,
     extra (N_EXTRA, H, W) f32) from precomputed bins — one kernel pass, no
     per-pixel gathers. Payload planes: [u, v, z, tu, tv, x0, y0, x1, y1,
@@ -795,6 +796,10 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
     )(bins.bin_start, bins.n_global, bins.gblk_ty, sched_start, sched_col,
       bins.sorted_rec_t, bins.global_rec_t)
 
+    if padded:
+        # Padded planes avoid a slice -> re-pad HBM roundtrip when the
+        # consumer is the gradient kernel (which wants (ph, pw) anyway).
+        return idbuf, payload, entry, extra
     return (idbuf[:height, :width], payload[:, :height, :width],
             entry[:height, :width], extra[:, :height, :width])
 

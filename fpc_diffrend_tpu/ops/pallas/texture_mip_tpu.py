@@ -1,0 +1,492 @@
+"""Pallas TPU trilinear-mipmap texture sampling (``linear-mipmap-linear``).
+
+TPU-native replacement for the XLA gather-based mip path of
+``ops/texture.py:texture`` (the nvdiffrast ``dr.texture`` mip mode used at
+reference fit.py:155-158 with ``max_mip_level=6``, main.py:27-28). The
+design extends the resident-VMEM tile-patch sampler of ``texture_tpu``:
+
+  * The whole mip pyramid (wrap aprons included) is packed into ONE
+    resident plane stack — levels stacked vertically at a common padded
+    width — and DMA'd to VMEM once per kernel launch. Level ``l`` lives at
+    a static row offset, so a tile's patch slice is ``[off_l + t0r,
+    c0_l]`` with the same alignment rules as the base sampler.
+  * Trilinear blending is decomposed per level: a pixel with LOD
+    ``lam`` reads level ``floor(lam)`` with weight ``1 - frac`` and level
+    ``floor(lam) + 1`` with weight ``frac``. The kernel loops over levels
+    statically and skips (tile, level) pairs with no contributing pixel
+    via scalar-prefetched liveness — smooth LOD fields make ~2 levels
+    live per tile, so the cost is ~2x the non-mip sampler.
+  * The LOD plane is an input (stop-gradient, like the pipeline's mip
+    path — nvdiffrast's optional LOD gradients are not propagated).
+  * ``wrap`` boundary only (nvdiffrast's default and the reference
+    configuration); clamp mode falls back to the XLA path at the call
+    site.
+
+Backward accumulates texel gradients into a packed gradient pyramid
+(flushed once), which XLA then folds through the differentiable pyramid
+construction (``build_mip_pyramid`` stays in the autodiff graph), and
+coordinate gradients with the per-level ``2^-l`` chain factor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+    PATCH_W, PRECISION, SUB_H, TILE_H, TILE_W, VMEM_LIMIT,
+    _extend_texture, _pad_hw, _seam_remap, _wrow, _wrow_pair,
+    extended_shape)
+
+Array = jnp.ndarray
+
+# Resident bytes gate for the packed pyramid (fwd holds one copy, bwd two).
+MIP_RESIDENT_LIMIT = 40 * 2 ** 20
+
+
+def _level_sizes(th: int, tw: int, max_level: int):
+    """Static (th_l, tw_l) chain matching ops.texture.build_mip_pyramid."""
+    sizes = [(th, tw)]
+    while len(sizes) <= max_level and min(sizes[-1]) >= 2:
+        sizes.append((sizes[-1][0] // 2, sizes[-1][1] // 2))
+    return sizes
+
+
+def _packed_geom(th: int, tw: int, max_level: int):
+    """Static packed-plane geometry: per-level extended shapes + offsets."""
+    sizes = _level_sizes(th, tw, max_level)
+    ext = [extended_shape(a, b, "wrap") for a, b in sizes]
+    we0 = max(w for _, w in ext)
+    offs = []
+    rows = 0
+    for he, _we in ext:
+        offs.append(rows)
+        rows += he
+    return sizes, ext, offs, rows, we0
+
+
+def mip_resident_bytes(th: int, tw: int, channels: int,
+                       max_level: int) -> int:
+    _, _, _, rows, we0 = _packed_geom(th, tw, max_level)
+    return channels * rows * we0 * 4
+
+
+def mip_fits_resident(th: int, tw: int, channels: int,
+                      max_level: int) -> bool:
+    return (channels <= 4
+            and mip_resident_bytes(th, tw, channels, max_level)
+            <= MIP_RESIDENT_LIMIT)
+
+
+def _pack_pyramid(levels, max_level: int) -> Array:
+    """Differentiable packing: list of (th_l, tw_l, C) -> (C, ROWS, we0)."""
+    th, tw = levels[0].shape[0], levels[0].shape[1]
+    _sizes, ext, _offs, rows, we0 = _packed_geom(th, tw, max_level)
+    parts = []
+    for lv, (he, we) in zip(levels, ext):
+        p = _extend_texture(lv, "wrap")              # (C, he, we)
+        parts.append(jnp.pad(p, ((0, 0), (0, 0), (0, we0 - we))))
+    return jnp.concatenate(parts, axis=1)            # (C, ROWS, we0)
+
+
+def _prep_mip(texc: Array, lam: Array, th: int, tw: int, max_level: int):
+    """Traced per-level tile metadata (coords, origins, liveness)."""
+    sizes, ext, offs, _rows, _we0 = _packed_geom(th, tw, max_level)
+    L = len(sizes)
+    h, w = texc.shape[0], texc.shape[1]
+    ph, pw = _pad_hw(h, w)
+    gy, gx = ph // TILE_H, pw // TILE_W
+    n_tiles = gy * gx
+
+    lamp = jnp.pad(jnp.clip(lam, 0.0, L - 1),
+                   ((0, ph - h), (0, pw - w)), mode="edge")
+    lo4 = jnp.floor(lamp.reshape(gy, TILE_H, gx, TILE_W))
+    lmin = jnp.min(lo4, axis=(1, 3))                 # (gy, gx)
+    lmax = jnp.max(lo4, axis=(1, 3))
+
+    uvp = jnp.pad(texc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    uv4 = uvp.reshape(gy, TILE_H, gx, TILE_W, 2)
+    tile_live = jnp.any(uv4 != 0.0, axis=(1, 3, 4))  # (gy, gx)
+
+    ls_all, lt_all, t0r_all, c0_all, live_all = [], [], [], [], []
+    for li, ((th_l, tw_l), (he, _we), off) in enumerate(zip(sizes, ext,
+                                                            offs)):
+        s = texc[..., 0] * tw_l - 0.5
+        t = texc[..., 1] * th_l - 0.5
+        s = jnp.mod(s, tw_l)
+        t = jnp.mod(t, th_l)
+        s = jnp.pad(s, ((0, ph - h), (0, pw - w)), mode="edge")
+        t = jnp.pad(t, ((0, ph - h), (0, pw - w)), mode="edge")
+        s4 = _seam_remap(s.reshape(gy, TILE_H, gx, TILE_W), tw_l, "wrap")
+        t4 = _seam_remap(t.reshape(gy, TILE_H, gx, TILE_W), th_l, "wrap")
+
+        min_s = jnp.min(s4, axis=(1, 3))
+        c0 = jnp.clip(((jnp.floor(min_s).astype(jnp.int32) - 1) // TILE_W)
+                      * TILE_W, 0, max(_we - PATCH_W, 0)).reshape(-1)
+        min_tr = jnp.min(t4, axis=3)                 # (gy, TILE_H, gx)
+        t0r3 = jnp.clip((jnp.floor(min_tr).astype(jnp.int32) // TILE_H)
+                        * TILE_H, 0, he - SUB_H)
+        t0r = (jnp.transpose(t0r3, (0, 2, 1)).reshape(-1)
+               + off)                                # packed-plane rows
+        c0f = c0.reshape(gy, 1, gx, 1).astype(jnp.float32)
+        ls4 = jnp.clip(s4 - c0f, 0.0, PATCH_W - 1.001)
+        lt4 = jnp.clip(t4, 0.0, he - 1.001) + off    # absolute packed t
+
+        # level li contributes where floor(lam) in {li, li - 1}
+        touches = ((lmin <= li) & (li <= lmax + 1)) & tile_live
+        live_all.append(touches.reshape(-1).astype(jnp.int32))
+        ls_all.append(ls4.reshape(ph, pw))
+        lt_all.append(lt4.reshape(ph, pw))
+        t0r_all.append(t0r)
+        c0_all.append(c0)
+
+    geom = (L, h, w, ph, pw, gy, gx, n_tiles)
+    return (jnp.stack(ls_all), jnp.stack(lt_all),
+            jnp.concatenate(t0r_all), jnp.concatenate(c0_all),
+            jnp.concatenate(live_all), lamp, tile_live, geom)
+
+
+def _level_weight(lam_row, li, L):
+    """(1, TILE_W) trilinear weight of level ``li`` for one pixel row."""
+    lo = jnp.floor(lam_row)
+    frac = lam_row - lo
+    wl = jnp.where(lo == li, 1.0 - frac, 0.0)
+    if li > 0:
+        wl = wl + jnp.where(lo == li - 1, frac, 0.0)
+    return wl
+
+
+def _mip_fwd_kernel(C: int, L: int, gx: int, n_tiles: int, mt: int,
+                    # scalar prefetch
+                    t0r_ref, c0_ref, live_ref, bg_ref,
+                    # inputs
+                    tex_hbm, ls_ref, lt_ref, lam_ref,
+                    *refs):
+    out_refs = refs[:C]
+    tex_vmem, acc_vmem, sem = refs[C], refs[C + 1], refs[C + 2]
+    ti = pl.program_id(0)
+    pj = pl.program_id(1)
+
+    @pl.when((ti == 0) & (pj == 0))
+    def _():
+        dma = pltpu.make_async_copy(tex_hbm, tex_vmem, sem)
+        dma.start()
+        dma.wait()
+
+    for s in range(mt):
+        cols = slice(s * TILE_W, (s + 1) * TILE_W)
+        tile = ti * gx + pj * mt + s
+        any_live = live_ref[tile] > 0
+        for li in range(1, L):
+            any_live = any_live | (live_ref[li * n_tiles + tile] > 0)
+
+        @pl.when(jnp.logical_not(any_live))
+        def _(cols=cols):
+            for c in range(C):
+                out_refs[c][:, cols] = jnp.full((TILE_H, TILE_W), bg_ref[c])
+
+        @pl.when(any_live)
+        def _(cols=cols, tile=tile):
+            for c in range(C):
+                acc_vmem[c] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for li in range(L):
+                live = live_ref[li * n_tiles + tile] > 0
+
+                @pl.when(live)
+                def _(li=li, cols=cols, tile=tile):
+                    c0 = pl.multiple_of(c0_ref[li * n_tiles + tile],
+                                        TILE_W)
+                    for r in range(TILE_H):
+                        t0r = pl.multiple_of(
+                            t0r_ref[(li * n_tiles + tile) * TILE_H + r],
+                            TILE_H)
+                        ltr = jnp.clip(
+                            lt_ref[li, r, cols].reshape(1, TILE_W)
+                            - t0r.astype(jnp.float32),
+                            0.0, SUB_H - 1.001)
+                        lsr = ls_ref[li, r, cols].reshape(1, TILE_W)
+                        wx = _wrow(lsr, PATCH_W)
+                        wy = _wrow(ltr, SUB_H)
+                        lam_row = lam_ref[r:r + 1, cols]
+                        wl = _level_weight(lam_row, li, L)
+                        for c in range(C):
+                            sub = tex_vmem[c, pl.ds(t0r, SUB_H),
+                                           pl.ds(c0, PATCH_W)]
+                            b = jnp.dot(sub, wx,
+                                        preferred_element_type=jnp.float32,
+                                        precision=PRECISION)
+                            acc_vmem[c, r:r + 1, :] = (
+                                acc_vmem[c, r:r + 1, :] + wl * jnp.sum(
+                                    wy * b, axis=0, keepdims=True))
+            for c in range(C):
+                out_refs[c][:, cols] = acc_vmem[c]
+
+
+def _mip_bwd_kernel(C: int, L: int, gx: int, gy: int, pgx: int,
+                    n_tiles: int, mt: int,
+                    # scalar prefetch
+                    t0r_ref, c0_ref, live_ref,
+                    # inputs
+                    tex_hbm, ls_ref, lt_ref, lam_ref,
+                    *refs):
+    g_refs = refs[:C]
+    gs_ref, gt_ref, gtex_out_hbm = refs[C], refs[C + 1], refs[C + 2]
+    tex_vmem, gtex_vmem, gst_vmem, sem, out_sem = refs[C + 3:C + 8]
+    ti = pl.program_id(0)
+    pj = pl.program_id(1)
+
+    @pl.when((ti == 0) & (pj == 0))
+    def _():
+        dma = pltpu.make_async_copy(tex_hbm, tex_vmem, sem)
+        dma.start()
+        for c in range(C):
+            gtex_vmem[c] = jnp.zeros_like(gtex_vmem[c])
+        dma.wait()
+
+    for s in range(mt):
+        cols = slice(s * TILE_W, (s + 1) * TILE_W)
+        tile = ti * gx + pj * mt + s
+        gz = g_refs[0][:, cols]
+        nz = jnp.any(gz != 0.0)
+        for c in range(1, C):
+            nz = nz | jnp.any(g_refs[c][:, cols] != 0.0)
+
+        @pl.when(jnp.logical_not(nz))
+        def _(cols=cols):
+            gs_ref[:, cols] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            gt_ref[:, cols] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+        @pl.when(nz)
+        def _(cols=cols, tile=tile):
+            gst_vmem[0] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            gst_vmem[1] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for li in range(L):
+                live = live_ref[li * n_tiles + tile] > 0
+
+                @pl.when(live)
+                def _(li=li, cols=cols, tile=tile):
+                    c0 = pl.multiple_of(c0_ref[li * n_tiles + tile],
+                                        TILE_W)
+                    sc = float(2.0 ** -li)
+                    for r in range(TILE_H):
+                        t0r = pl.multiple_of(
+                            t0r_ref[(li * n_tiles + tile) * TILE_H + r],
+                            TILE_H)
+                        ltr = jnp.clip(
+                            lt_ref[li, r, cols].reshape(1, TILE_W)
+                            - t0r.astype(jnp.float32),
+                            0.0, SUB_H - 1.001)
+                        lsr = ls_ref[li, r, cols].reshape(1, TILE_W)
+                        wx, dwx = _wrow_pair(lsr, PATCH_W)
+                        wy, dwy = _wrow_pair(ltr, SUB_H)
+                        wxd = jnp.concatenate([wx, dwx], axis=1)
+                        lam_row = lam_ref[r:r + 1, cols]
+                        wl = _level_weight(lam_row, li, L)
+                        # in-patch subgradient gates (wrap is periodic, so
+                        # only the patch-clamp boundary gates apply)
+                        s_in = ((lsr > 0.0)
+                                & (lsr < PATCH_W - 1.001)).astype(
+                                    jnp.float32)
+                        t_in = ((ltr > 0.0)
+                                & (ltr < SUB_H - 1.001)).astype(
+                                    jnp.float32)
+                        for c in range(C):
+                            g = g_refs[c][r:r + 1, cols] * wl
+                            sub = tex_vmem[c, pl.ds(t0r, SUB_H),
+                                           pl.ds(c0, PATCH_W)]
+                            gsub = jax.lax.dot_general(
+                                wy * g, wx,
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=PRECISION)
+                            cur = gtex_vmem[c, pl.ds(t0r, SUB_H),
+                                            pl.ds(c0, PATCH_W)]
+                            gtex_vmem[c, pl.ds(t0r, SUB_H),
+                                      pl.ds(c0, PATCH_W)] = cur + gsub
+                            bb = jnp.dot(sub, wxd,
+                                         preferred_element_type=jnp.float32,
+                                         precision=PRECISION)
+                            b = bb[:, :TILE_W]
+                            b2 = bb[:, TILE_W:]
+                            gst_vmem[0, r:r + 1, :] = (
+                                gst_vmem[0, r:r + 1, :]
+                                + sc * s_in * jnp.sum(
+                                    wy * b2, axis=0, keepdims=True) * g)
+                            gst_vmem[1, r:r + 1, :] = (
+                                gst_vmem[1, r:r + 1, :]
+                                + sc * t_in * jnp.sum(
+                                    dwy * b, axis=0, keepdims=True) * g)
+            gs_ref[:, cols] = gst_vmem[0]
+            gt_ref[:, cols] = gst_vmem[1]
+
+    @pl.when((ti == gy - 1) & (pj == pgx - 1))
+    def _():
+        dma = pltpu.make_async_copy(gtex_vmem, gtex_out_hbm, out_sem)
+        dma.start()
+        dma.wait()
+
+
+def _mip_fwd_impl(packed, texc, lam, th, tw, C, max_level, interpret):
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import tiles_per_program
+
+    (ls, lt, t0r, c0, live, lamp, _tile_live,
+     geom) = _prep_mip(texc, lam, th, tw, max_level)
+    L, h, w, ph, pw, gy, gx, n_tiles = geom
+    rows, we0 = packed.shape[1], packed.shape[2]
+    mt = tiles_per_program(gx, "tex")
+    pgx, bw = gx // mt, mt * TILE_W
+
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import _background_sample
+    base = jnp.transpose(
+        packed[:, :th, :tw], (1, 2, 0))
+    bg = _background_sample(base, "wrap")
+
+    img = lambda: pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j))
+    lvl = lambda: pl.BlockSpec((L, TILE_H, bw), lambda i, j, *_: (0, i, j))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(gy, pgx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM), lvl(), lvl(),
+                  img()],
+        out_specs=[img()] * C,
+        scratch_shapes=[pltpu.VMEM((C, rows, we0), jnp.float32),
+                        pltpu.VMEM((C, TILE_H, TILE_W), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_mip_fwd_kernel, C, L, gx, n_tiles, mt),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32)
+                   for _ in range(C)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+    )(t0r, c0, live, bg, packed, ls, lt, lamp)
+    return jnp.stack([o[:h, :w] for o in outs], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _mip_core(packed, texc, lam, th, tw, C, max_level, interpret):
+    return _mip_fwd_impl(packed, texc, lam, th, tw, C, max_level,
+                         interpret)
+
+
+def _mip_vjp_fwd(packed, texc, lam, th, tw, C, max_level, interpret):
+    return (_mip_fwd_impl(packed, texc, lam, th, tw, C, max_level,
+                          interpret),
+            (packed, texc, lam))
+
+
+def _mip_vjp_bwd(th, tw, C, max_level, interpret, res, g):
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import tiles_per_program
+
+    packed, texc, lam = res
+    (ls, lt, t0r, c0, live, lamp, _tile_live,
+     geom) = _prep_mip(texc, lam, th, tw, max_level)
+    L, h, w, ph, pw, gy, gx, n_tiles = geom
+    rows, we0 = packed.shape[1], packed.shape[2]
+    mt = tiles_per_program(gx, "tex")
+    pgx, bw = gx // mt, mt * TILE_W
+
+    gpad = jnp.pad(g, ((0, ph - h), (0, pw - w), (0, 0)))
+    g_planes = [gpad[..., c] for c in range(C)]
+
+    img = lambda: pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j))
+    lvl = lambda: pl.BlockSpec((L, TILE_H, bw), lambda i, j, *_: (0, i, j))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(gy, pgx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM), lvl(), lvl(),
+                  img()] + [img()] * C,
+        out_specs=[img(), img(), pl.BlockSpec(memory_space=pltpu.HBM)],
+        scratch_shapes=[pltpu.VMEM((C, rows, we0), jnp.float32),
+                        pltpu.VMEM((C, rows, we0), jnp.float32),
+                        pltpu.VMEM((2, TILE_H, TILE_W), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+    )
+    gs_img, gt_img, gtex_packed = pl.pallas_call(
+        functools.partial(_mip_bwd_kernel, C, L, gx, gy, pgx, n_tiles, mt),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+                   jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+                   jax.ShapeDtypeStruct((C, rows, we0), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+    )(t0r, c0, live, packed, ls, lt, lamp, *g_planes)
+    gs_img, gt_img, gtex_packed = jax.lax.optimization_barrier(
+        (gs_img, gt_img, gtex_packed))
+
+    gtexc = jnp.stack([gs_img[:h, :w] * tw, gt_img[:h, :w] * th], axis=-1)
+    return gtex_packed, gtexc, jnp.zeros_like(lam)
+
+
+_mip_core.defvjp(_mip_vjp_fwd, _mip_vjp_bwd)
+
+
+def mip_texture_pallas(tex: Array, texc: Array, lam: Array,
+                       max_mip_level: int,
+                       interpret: bool = False) -> Array:
+    """Trilinear mip sampling via the packed resident-pyramid kernel.
+
+    :param tex: (TH, TW, C) base texture (power-of-two sides), C <= 4.
+    :param texc: (H, W, 2) uv, wrap boundary.
+    :param lam: (H, W) per-pixel LOD in levels (stop-gradient; clamped to
+        the available chain).
+    :return: (H, W, C) trilinear samples.
+    """
+    from fpc_diffrend_tpu.ops.texture import build_mip_pyramid
+
+    th, tw, C = tex.shape
+    if not mip_fits_resident(th, tw, C, max_mip_level):
+        raise ValueError("mip pyramid exceeds the VMEM-resident limit; "
+                         "use ops.texture.texture")
+    levels = build_mip_pyramid(tex, max_mip_level)
+    packed = _pack_pyramid(levels, max_mip_level)
+    return _mip_core(packed, texc, jax.lax.stop_gradient(lam), th, tw, C,
+                     max_mip_level, interpret)
+
+
+def lod_from_texc(texc: Array, tri_id: Array, th: int, tw: int) -> Array:
+    """Finite-difference LOD plane from the interpolated uv image.
+
+    Screen-space uv derivatives via one-pixel forward differences, masked
+    to same-triangle neighbors (backward difference where the forward
+    neighbor crosses a triangle edge; 0 where isolated). Matches the
+    analytic derivative in triangle interiors — LOD selection only, held
+    out of the gradient path by the caller.
+
+    :param texc: (H, W, 2) uv; :param tri_id: (H, W) int32 id (+1, 0 = bg).
+    """
+    s = texc[..., 0] * tw
+    t = texc[..., 1] * th
+
+    def fd(f):
+        fwd_x = jnp.diff(f, axis=1, append=f[:, -1:])
+        bwd_x = jnp.diff(f, axis=1, prepend=f[:, :1])
+        fwd_y = jnp.diff(f, axis=0, append=f[-1:, :])
+        bwd_y = jnp.diff(f, axis=0, prepend=f[:1, :])
+        return fwd_x, bwd_x, fwd_y, bwd_y
+
+    idp = tri_id
+    same_fx = jnp.concatenate([idp[:, 1:] == idp[:, :-1],
+                               jnp.zeros_like(idp[:, :1], bool)], axis=1)
+    same_bx = jnp.concatenate([jnp.zeros_like(idp[:, :1], bool),
+                               idp[:, 1:] == idp[:, :-1]], axis=1)
+    same_fy = jnp.concatenate([idp[1:, :] == idp[:-1, :],
+                               jnp.zeros_like(idp[:1, :], bool)], axis=0)
+    same_by = jnp.concatenate([jnp.zeros_like(idp[:1, :], bool),
+                               idp[1:, :] == idp[:-1, :]], axis=0)
+
+    sfx, sbx, sfy, sby = fd(s)
+    tfx, tbx, tfy, tby = fd(t)
+    dsdx = jnp.where(same_fx, sfx, jnp.where(same_bx, sbx, 0.0))
+    dtdx = jnp.where(same_fx, tfx, jnp.where(same_bx, tbx, 0.0))
+    dsdy = jnp.where(same_fy, sfy, jnp.where(same_by, sby, 0.0))
+    dtdy = jnp.where(same_fy, tfy, jnp.where(same_by, tby, 0.0))
+    rho2 = jnp.maximum(dsdx * dsdx + dtdx * dtdx,
+                       dsdy * dsdy + dtdy * dtdy)
+    return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-20))

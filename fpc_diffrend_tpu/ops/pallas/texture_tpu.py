@@ -103,6 +103,17 @@ def _dwrow(local_row, n):
     return jnp.where(jnp.abs(d) < 1.0, -jnp.sign(d), 0.0)
 
 
+def _wrow_pair(local_row, n):
+    """(_wrow, _dwrow) sharing the distance computation."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, TILE_W), 0).astype(
+        jnp.float32)
+    d = local_row - i
+    a = jnp.abs(d)
+    w = jnp.maximum(0.0, 1.0 - a)
+    dw = jnp.where(a < 1.0, -jnp.sign(d), 0.0)
+    return w, dw
+
+
 # ----------------------------------------------------------------------------
 # XLA-side preparation
 # ----------------------------------------------------------------------------
@@ -338,10 +349,11 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                 ltr = jnp.clip(
                     lt_ref[r:r + 1, cols] - t0r.astype(jnp.float32),
                     0.0, SUB_H - 1.001)
-                wx = _wrow(lsr, PATCH_W)                    # (PW, 128)
-                wy = _wrow(ltr, SUB_H)                      # (SUB_H, 128)
-                dwx = _dwrow(lsr, PATCH_W)
-                dwy = _dwrow(ltr, SUB_H)
+                wx, dwx = _wrow_pair(lsr, PATCH_W)          # (PW, 128) x2
+                wy, dwy = _wrow_pair(ltr, SUB_H)            # (SUB_H, 128) x2
+                # one contraction for both coordinate-gradient paths:
+                # [b | b2] = sub @ [wx | dwx]  (halves the matmul issues)
+                wxd = jnp.concatenate([wx, dwx], axis=1)    # (PW, 256)
                 gs_acc = jnp.zeros((1, TILE_W), jnp.float32)
                 gt_acc = jnp.zeros((1, TILE_W), jnp.float32)
                 for c in range(C):
@@ -358,12 +370,11 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                     gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)] = (
                         cur + gsub)
                     # coordinate gradients
-                    b = jnp.dot(sub, wx,
-                                preferred_element_type=jnp.float32,
-                                precision=PRECISION)        # (SUB_H, 128)
-                    b2 = jnp.dot(sub, dwx,
+                    bb = jnp.dot(sub, wxd,
                                  preferred_element_type=jnp.float32,
-                                 precision=PRECISION)
+                                 precision=PRECISION)       # (SUB_H, 256)
+                    b = bb[:, :TILE_W]
+                    b2 = bb[:, TILE_W:]
                     gs_acc += jnp.sum(wy * b2, axis=0, keepdims=True) * g
                     gt_acc += jnp.sum(dwy * b, axis=0, keepdims=True) * g
                 gs_rows.append(gs_acc)

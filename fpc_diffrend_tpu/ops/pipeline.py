@@ -71,6 +71,8 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
     if enable_mip:
         # db (bary screen derivatives) is only consumed by mip filtering
         if resolved_impl == "pallas":
+            from fpc_diffrend_tpu.ops.pallas.texture_mip_tpu import (
+                lod_from_texc, mip_fits_resident, mip_texture_pallas)
             from fpc_diffrend_tpu.ops.rasterize import (
                 _pixel_db_from_data, _rasterize_pallas_full)
 
@@ -78,21 +80,36 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
                 _rasterize_pallas_full(pos_clip, pos_idx, uv, uv_idx,
                                        face_neighbors, resolution, False,
                                        pair_cap)
-            # LOD selection only: held out of the gradient path (the
-            # gather chain's backward would be an image-sized scatter;
-            # documented deviation — nvdiffrast's optional mip-level
-            # gradients are negligible for this workload)
-            texd = jax.lax.stop_gradient(_bary_db_to_uv_da(
-                _pixel_db_from_data(data, idbuf, *resolution),
-                uv, uv_idx, rast))
+            tex3 = tex[..., None] if tex.ndim == 2 else tex
+            if mip_fits_resident(tex3.shape[0], tex3.shape[1],
+                                 tex3.shape[2], max_mip_level):
+                # Resident-pyramid Pallas trilinear sampler; LOD from
+                # masked finite differences of the interpolated uv image
+                # (matches the analytic derivative in triangle interiors;
+                # LOD selection only, held out of the gradient path like
+                # the XLA mip branch below).
+                lam = lod_from_texc(jax.lax.stop_gradient(texc), idbuf,
+                                    tex3.shape[0], tex3.shape[1])
+                colour = mip_texture_pallas(tex3, texc, lam,
+                                            max_mip_level)
+                texd = None
+            else:
+                # LOD selection only: held out of the gradient path (the
+                # gather chain's backward would be an image-sized
+                # scatter; documented deviation — nvdiffrast's optional
+                # mip-level gradients are negligible for this workload)
+                texd = jax.lax.stop_gradient(_bary_db_to_uv_da(
+                    _pixel_db_from_data(data, idbuf, *resolution),
+                    uv, uv_idx, rast))
         else:
             rast, rast_db = rasterize(pos_clip, pos_idx, resolution,
                                       impl=impl, with_db=True)
             texc, texd = interpolate(uv, rast, uv_idx, rast_db=rast_db,
                                      diff_attrs="all")
-        colour = texture(tex, texc, uv_da=texd,
-                         filter_mode="linear-mipmap-linear",
-                         max_mip_level=max_mip_level)
+        if texd is not None:
+            colour = texture(tex, texc, uv_da=texd,
+                             filter_mode="linear-mipmap-linear",
+                             max_mip_level=max_mip_level)
     elif resolved_impl == "pallas":
         from fpc_diffrend_tpu.ops.rasterize import _rasterize_pallas_full
 

@@ -320,9 +320,16 @@ def _rasterize_fused_fwd(data, aux, bins, height, width, interpret,
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
         fused_rasterize_from_bins)
 
-    idbuf, payload, entry, extra = fused_rasterize_from_bins(
-        bins, height, width, interpret)
-    res = (entry, payload[0], payload[1], extra, bins, data.shape[0])
+    # Keep the backward's inputs (entry, u, v, extra — 11 image planes) in
+    # their PADDED kernel layout: the gradient kernel consumes (ph, pw)
+    # planes, and slicing here only to re-pad there costs two full HBM
+    # copies per plane at 1600x1200 (pw 1200 -> 1280).
+    idbuf_p, payload_p, entry_p, extra_p = fused_rasterize_from_bins(
+        bins, height, width, interpret, padded=True)
+    idbuf = idbuf_p[:height, :width]
+    payload = payload_p[:, :height, :width]
+    res = (entry_p, payload_p[0], payload_p[1], extra_p, bins,
+           data.shape[0])
     return (idbuf, payload), res
 
 
