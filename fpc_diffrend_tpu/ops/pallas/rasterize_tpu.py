@@ -354,6 +354,13 @@ def _phasea_block(at, rec_base, lo, hi, ti, x_row):
     in f32 below 2^24) instead of any payload. Returns (z, idx) planes of
     shape (TILE_H, TILE_W); idx is garbage wherever z == _BIG (discarded
     by the strict-less merge).
+
+    Op-count choices (the kernel is VPU-issue bound): the live-range
+    ``active`` mask folds into one c-coefficient bias instead of a
+    per-row predicate; the (n, TILE_W) products a_i * x are hoisted out
+    of the row loop (x is row-invariant — each row then costs one
+    broadcast add per plane, bit-identical to the full evaluation);
+    coverage is min3(l) >= 0.
     """
     a0 = at[:, 0:1]; b0 = at[:, 1:2]; c0 = at[:, 2:3]
     a1 = at[:, 3:4]; b1 = at[:, 4:5]; c1 = at[:, 5:6]
@@ -365,16 +372,24 @@ def _phasea_block(at, rec_base, lo, hi, ti, x_row):
     rec = rec_base + rec_iota
     active = (rec >= lo) & (rec < hi)                     # (n, 1)
     rec_f = rec.astype(jnp.float32)
+    # Out-of-range records: bias one edge plane to -inf — coverage then
+    # fails for every pixel with no per-row mask op.
+    c0 = jnp.where(active, c0, jnp.float32(-1e30))
+
+    ax0 = a0 * x_row                                      # (n, 128), hoisted
+    ax1 = a1 * x_row
+    ax2 = a2 * x_row
+    zxx = zx * x_row
 
     z_rows, i_rows = [], []
     for g in range(TILE_H):
         y = (ti * TILE_H + g).astype(jnp.float32) + 0.5   # scalar
-        l0 = a0 * x_row + (b0 * y + c0)                   # (n, 128)
-        l1 = a1 * x_row + (b1 * y + c1)
-        l2 = a2 * x_row + (b2 * y + c2)
-        z = zx * x_row + (zy * y + zc)
-        covered = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-                   & (z >= -1.0) & (z <= 1.0) & active)
+        l0 = ax0 + (b0 * y + c0)                          # (n, 128)
+        l1 = ax1 + (b1 * y + c1)
+        l2 = ax2 + (b2 * y + c2)
+        z = zxx + (zy * y + zc)
+        covered = ((jnp.minimum(jnp.minimum(l0, l1), l2) >= 0.0)
+                   & (z >= -1.0) & (z <= 1.0))
         zm = jnp.where(covered, z, _BIG)
         zmin = jnp.min(zm, axis=0, keepdims=True)          # (1, 128)
         # tie-break: lowest entry index == lowest triangle id (entries
