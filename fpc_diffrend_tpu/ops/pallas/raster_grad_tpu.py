@@ -126,13 +126,12 @@ def _grad_kernel(gx: int, gy: int, pgx: int, mt: int, gbase: int,
                      + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                      ).astype(jnp.float32)
             g32 = jnp.zeros((REC, CHUNK), jnp.float32)
-            if True:
-                for g in range(TILE_H):
-                    oh = (col_f == entry[g:g + 1, :]).astype(jnp.bfloat16)
-                    for part in _split3_bf16(cr_vmem[g]):
-                        g32 = g32 + jax.lax.dot_general(
-                            part, oh, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (REC, CHUNK)
+            for g in range(TILE_H):
+                oh = (col_f == entry[g:g + 1, :]).astype(jnp.bfloat16)
+                for part in _split3_bf16(cr_vmem[g]):
+                    g32 = g32 + jax.lax.dot_general(
+                        part, oh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)      # (REC, CHUNK)
 
             # pending-buffer accumulation: sum chunks shared across tiles
             # in VMEM; every chunk column range hits HBM exactly once,
