@@ -97,3 +97,18 @@ def test_raster_stats(rng):
         [jnp.asarray(np.array([[0, 1, 2]], np.int32)), faces + 3])
     stats2 = rp.raster_stats(pos2, faces2, 256, 256)
     assert int(stats2["n_global"]) >= 1
+
+
+def test_tiles_per_program_divides_and_overrides(monkeypatch):
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import tiles_per_program
+
+    for gx in (1, 2, 3, 5, 7, 10, 12, 16):
+        for kind in ("fwd", "grad", "tex"):
+            mt = tiles_per_program(gx, kind)
+            assert gx % mt == 0
+    assert tiles_per_program(16, "fwd") == 1      # measured optimum
+    assert tiles_per_program(16, "grad") == 8
+    monkeypatch.setenv("FPC_MT_GRAD", "4")
+    assert tiles_per_program(16, "grad") == 4
+    monkeypatch.setenv("FPC_MT_GRAD", "3")        # doesn't divide 16 -> 2
+    assert tiles_per_program(16, "grad") == 2
