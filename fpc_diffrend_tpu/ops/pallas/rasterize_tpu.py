@@ -15,11 +15,14 @@ for the TPU execution model instead of a GPU pixel pipeline:
     positions, neighbor-face ids) consumed by interpolation and the
     elementwise antialias pass.
   * Binning runs in XLA: each triangle emits (tile, tri) pairs for a
-    WINDOW_Y x WINDOW_X tile window anchored at its bbox; one int32 sort
-    groups pairs by tile and a bincount/cumsum yields per-tile [start,
-    end) ranges. Triangles too large for the window go to a small global
-    list loaded once into persistent VMEM and processed by every tile
-    whose rows its 32-record blocks overlap.
+    WINDOW_Y x WINDOW_X tile window anchored at its bbox; since a
+    triangle covers each tile at most once, every pair's grouped
+    position is computed directly from per-tile running counts
+    (_place_rank — no sort; FPC_BIN_IMPL=sort keeps the key-sort path)
+    and a cumsum yields per-tile [start, end) ranges. Triangles too
+    large for the window go to a small global list loaded once into
+    persistent VMEM and processed by every tile whose rows its
+    32-record blocks overlap.
   * The kernel scalar-prefetches the bin offsets, streams its bin from HBM
     in 128-record chunks via double-buffered async DMA, and resolves
     coverage + depth with fused VPU ops. Within each chunk, 32-record
@@ -185,10 +188,98 @@ class Bins(NamedTuple):
                             # [min, max] ranges for predicated skipping
 
 
+def _place_sort(tile_ids: Array, T: int, n_tiles: int, P: int):
+    """Tile-grouped placement via one int32 key sort (round-1 path).
+
+    Pack (tile, tri) into one key tile * T + tri (safe while
+    (n_tiles + 1) * T < 2^31); ascending sort groups by tile with tri
+    ascending inside each bin; the kept prefix of length P implements
+    the entry cap.
+    """
+    tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                               tile_ids.shape)
+    keys = jnp.sort((tile_ids * T + tri_ids).reshape(-1))[:P]
+    sorted_tile = keys // T
+    sorted_tri = keys % T
+    counts = jnp.bincount(sorted_tile, length=n_tiles + 1)
+    bin_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts[:n_tiles]).astype(jnp.int32)])
+    return sorted_tri, bin_start
+
+
+_RANK_CHUNK = 256
+
+
+def _place_rank(tile_ids: Array, T: int, n_tiles: int, P: int):
+    """Sort-free tile-grouped placement (identical output to _place_sort).
+
+    The sorted position of pair (t, k) is derivable without sorting:
+    each triangle covers each tile at most once (its window slots are
+    distinct tiles), so within bin tau the entries are exactly the
+    covering triangles in ascending index order and
+
+        pos(t, k) = bin_start[tau(t, k)] + #{t' < t : t' covers tau}.
+
+    Both terms come from dense one-hot compare/reduce arithmetic — a
+    lax.scan over triangle chunks carrying per-tile running counts —
+    replacing the T*WINDOW-key sort whose XLA lowering dominated both
+    the binning runtime and (on the remote-compile TPU attach) the
+    compile time. One int32 scatter of unique positions places the
+    triangle indices; entries past the cap land in a dropped slot, the
+    same set the sort path's kept-prefix drops.
+    """
+    K = tile_ids.shape[1]
+    ch = _RANK_CHUNK
+    tpad = (T + ch - 1) // ch * ch
+    tid = jnp.pad(tile_ids, ((0, tpad - T), (0, 0)),
+                  constant_values=n_tiles)
+    tgrid = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+
+    chunks = tid.reshape(-1, ch, K)
+
+    def count_body(running, chunk):
+        m = chunk[:, :, None] == tgrid                   # (ch, K, NT+1)
+        return running + jnp.sum(m, axis=(0, 1), dtype=jnp.int32), None
+
+    counts, _ = jax.lax.scan(count_body,
+                             jnp.zeros(n_tiles + 1, jnp.int32), chunks)
+    bin_start_full = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts[:n_tiles]).astype(jnp.int32)])
+    # the kept prefix of the sorted order == positions < P
+    bin_start = jnp.minimum(bin_start_full, P)
+    # sentinel column (invalid pairs) -> out-of-bounds position; the
+    # scatter's default drop mode discards it (as it does entries of
+    # bins past the cap, whose base is already clamped to P)
+    base = bin_start.at[n_tiles].set(P)
+
+    def rank_body(running, chunk):
+        m = chunk[:, :, None] == tgrid                   # (ch, K, NT+1)
+        mt = jnp.any(m, axis=1)                          # (ch, NT+1)
+        mti = mt.astype(jnp.int32)
+        prefix = jnp.cumsum(mti, axis=0) - mti           # exclusive
+        off = running[None, :] + prefix + base[None, :]  # (ch, NT+1)
+        pos = jnp.sum(jnp.where(m, off[:, None, :], 0), axis=2)
+        return running + jnp.sum(mti, axis=0), pos
+
+    _, pos = jax.lax.scan(rank_body, jnp.zeros(n_tiles + 1, jnp.int32),
+                          chunks)
+    pos = pos.reshape(tpad, K)[:T].reshape(-1)
+    tri_ids = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None], tile_ids.shape
+    ).reshape(-1)
+    # all in-bounds positions are unique by construction; >= P drops
+    sorted_tri = jnp.zeros(P, jnp.int32).at[pos].set(
+        tri_ids, mode="drop", unique_indices=True)
+    return sorted_tri, bin_start
+
+
 def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
                   height: int, width: int, aux: Array,
                   entry_cap: int | None = None) -> "Bins":
-    """Group triangles by tile via one int32 key sort.
+    """Group triangles into per-tile bins (sort-free rank placement by
+    default; FPC_BIN_IMPL=sort selects the key-sort path).
 
     :param entry_cap: static bound on live bin entries. Valid entries are
         a sorted prefix, so slicing to the cap before the record gather
@@ -220,18 +311,16 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
     pair_valid = (valid & fits)[:, None] & (dx < wx[:, None]) & (dy < wy[:, None])
     tile_ids = jnp.where(pair_valid, ty * gx + tx, n_tiles)
 
-    # Pack (tile, tri) into one int32 key: tile * T + tri. Safe while
-    # (n_tiles + 1) * T < 2^31.
-    tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
-                               tile_ids.shape)
-    keys = (tile_ids * T + tri_ids).reshape(-1)
-    keys = jnp.sort(keys)
-    if entry_cap is not None and entry_cap < keys.shape[0]:
+    P = T * K
+    if entry_cap is not None and entry_cap < P:
         cap = max(int(entry_cap), 1)
         cap = (cap + CHUNK - 1) // CHUNK * CHUNK
-        keys = keys[:min(cap, keys.shape[0])]
-    sorted_tile = keys // T
-    sorted_tri = keys % T
+        P = min(cap, P)
+
+    if os.environ.get("FPC_BIN_IMPL", "rank") == "rank":
+        sorted_tri, bin_start = _place_rank(tile_ids, T, n_tiles, P)
+    else:
+        sorted_tri, bin_start = _place_sort(tile_ids, T, n_tiles, P)
 
     rec = jnp.concatenate([data, jax.lax.stop_gradient(aux)], axis=1)
     sorted_rec = rec[sorted_tri]
@@ -243,11 +332,6 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
     sorted_rec = jnp.concatenate(
         [sorted_rec, jnp.zeros((pad_rows, REC), sorted_rec.dtype)], axis=0)
     sorted_rec_t = sorted_rec.T  # (REC, P)
-
-    counts = jnp.bincount(sorted_tile, length=n_tiles + 1)
-    bin_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(counts[:n_tiles]).astype(jnp.int32)])
 
     # Global list: valid triangles too large for the window (fixed
     # MAX_GLOBAL rows; unused rows are zero).

@@ -112,3 +112,29 @@ def test_tiles_per_program_divides_and_overrides(monkeypatch):
     assert tiles_per_program(16, "grad") == 4
     monkeypatch.setenv("FPC_MT_GRAD", "3")        # doesn't divide 16 -> 2
     assert tiles_per_program(16, "grad") == 2
+
+
+def test_place_rank_matches_sort():
+    import numpy as np
+    from fpc_diffrend_tpu.ops.pallas import rasterize_tpu as rt
+
+    rng = np.random.default_rng(3)
+    T, K, n_tiles = 533, 8, 60
+    # each triangle covers K DISTINCT tiles (window slots are distinct);
+    # some slots invalid (sentinel n_tiles)
+    tile_ids = np.empty((T, K), np.int32)
+    for t in range(T):
+        picks = rng.choice(n_tiles, size=K, replace=False)
+        n_live = rng.integers(0, K + 1)
+        picks[n_live:] = n_tiles
+        tile_ids[t] = picks
+    tid = jnp.asarray(tile_ids)
+
+    live = int((tile_ids < n_tiles).sum())
+    for P in (T * K, 128, ((live // 2) // 128) * 128 or 128):
+        tri_s, bs_s = rt._place_sort(tid, T, n_tiles, P)
+        tri_r, bs_r = rt._place_rank(tid, T, n_tiles, P)
+        np.testing.assert_array_equal(np.asarray(bs_s), np.asarray(bs_r))
+        n_live = int(np.asarray(bs_s)[-1])
+        np.testing.assert_array_equal(np.asarray(tri_s)[:n_live],
+                                      np.asarray(tri_r)[:n_live])
