@@ -95,3 +95,56 @@ def test_lod_from_texc_matches_analytic():
     lam = lod_from_texc(jnp.asarray(uv), jnp.asarray(ids), th, tw)
     interior = np.asarray(lam)[1:-1, 1:-1]
     np.testing.assert_allclose(interior, np.log2(3.0), atol=1e-3)
+
+
+def test_mip_branch_against_analytic_lod_pipeline(rng):
+    """The pipeline's Pallas mip branch (FD LOD + packed-pyramid kernel)
+    vs the XLA branch (analytic LOD + gather trilinear) on a rendered
+    scene: interiors must agree closely (LOD differs only at triangle
+    boundaries, where the FD falls back to one-sided differences)."""
+    import numpy as np
+    from fpc_diffrend_tpu.models.camera import transform_clip
+    from fpc_diffrend_tpu.ops import interpolate as interp_mod
+    from fpc_diffrend_tpu.ops import rasterize as rast_mod
+
+    # a quad made of 2 triangles filling most of the frame, minified uv
+    pos = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+                   np.float32) * 0.9
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uv = np.array([[0, 0], [6, 0], [6, 6], [0, 6]], np.float32)
+    tex = rng.uniform(size=(64, 64, 1)).astype(np.float32)
+    mvp = np.eye(4, dtype=np.float32)
+    H = W = 64
+
+    pos_clip = transform_clip(jnp.asarray(mvp), jnp.asarray(pos))
+    rast, rast_db = rast_mod.rasterize(pos_clip, jnp.asarray(faces),
+                                       (H, W), impl="scan", with_db=True)
+    texc, texd = interp_mod.interpolate(jnp.asarray(uv), rast,
+                                        jnp.asarray(faces),
+                                        rast_db=rast_db, diff_attrs="all")
+    want = texture_xla(jnp.asarray(tex), texc, uv_da=texd,
+                       filter_mode="linear-mipmap-linear",
+                       boundary_mode="wrap", max_mip_level=4)
+
+    tri_id = rast[..., 3].astype(jnp.int32)
+    lam = lod_from_texc(texc, tri_id, 64, 64)
+    got = mip_texture_pallas(jnp.asarray(tex), texc, lam, 4,
+                             interpret=True)
+
+    inside = np.asarray(tri_id > 0)
+    # erode the mask so only same-triangle FD interiors are compared
+    er = inside[1:-1, 1:-1] & inside[:-2, 1:-1] & inside[2:, 1:-1] \
+        & inside[1:-1, :-2] & inside[1:-1, 2:]
+    same_tri = (np.asarray(tri_id)[1:-1, 1:-1] ==
+                np.asarray(tri_id)[2:, 1:-1]) & \
+               (np.asarray(tri_id)[1:-1, 1:-1] ==
+                np.asarray(tri_id)[1:-1, 2:])
+    m = er & same_tri
+    assert m.sum() > 500
+    g = np.asarray(got)[1:-1, 1:-1][m]
+    w = np.asarray(want)[1:-1, 1:-1][m]
+    err = np.abs(g - w)
+    # FD LOD is exact to first order; near mip-level crossings the
+    # second-order difference can shift the blend weight slightly
+    assert np.quantile(err, 0.99) < 5e-3, np.quantile(err, 0.99)
+    assert err.max() < 0.1, err.max()
