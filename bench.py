@@ -115,16 +115,36 @@ def main():
     fr = jnp.asarray(rng.integers(0, n_frames, B).astype(np.int32))
     batch = fit_loop.Batch(cam, fr, fit_loop.decode_refs(frames_u8, cam, fr))
 
+    # The production loop scans k steps per host dispatch with on-device
+    # sampling (fit_loop.train_steps); k > 1 removes the per-step remote
+    # dispatch latency from the measurement, matching run_fit's
+    # steps_per_dispatch mode. FPC_BENCH_DISPATCH=1 times the single-step
+    # path instead.
+    k = int(os.environ.get("FPC_BENCH_DISPATCH", "5"))
+    key = jax.random.PRNGKey(0)
+
+    def run(state, n):
+        if k > 1:
+            nonlocal key
+            for _ in range(n):
+                key, sub = jax.random.split(key)
+                state, met = fit_loop.train_steps(config, scene, state,
+                                                  frames_u8, sub, k,
+                                                  n_frames)
+            return state, jax.tree.map(lambda m: m[-1], met)
+        for _ in range(n * 1):
+            state, met = fit_loop.train_step(config, scene, state, batch)
+        return state, met
+
     t0 = time.time()
-    state, met = fit_loop.train_step(config, scene, state, batch)
+    state, met = run(state, 1)
     _ = float(met["loss"])
     compile_s = time.time() - t0
 
     t0 = time.time()
-    for _ in range(iters):
-        state, met = fit_loop.train_step(config, scene, state, batch)
+    state, met = run(state, iters)
     _ = float(met["loss"])
-    dt = (time.time() - t0) / iters
+    dt = (time.time() - t0) / (iters * k if k > 1 else iters)
 
     mpix = B * H * W / dt / 1e6
     fv_hour = 3600.0 / (H * W / (mpix * 1e6))
