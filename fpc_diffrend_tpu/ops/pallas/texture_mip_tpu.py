@@ -283,7 +283,6 @@ def _mip_bwd_kernel(C: int, L: int, gx: int, gy: int, pgx: int,
                         lsr = ls_ref[li, r, cols].reshape(1, TILE_W)
                         wx, dwx = _wrow_pair(lsr, PATCH_W)
                         wy, dwy = _wrow_pair(ltr, SUB_H)
-                        wxd = jnp.concatenate([wx, dwx], axis=1)
                         lam_row = lam_ref[r:r + 1, cols]
                         wl = _level_weight(lam_row, li, L)
                         # in-patch subgradient gates (wrap is periodic, so
@@ -307,11 +306,12 @@ def _mip_bwd_kernel(C: int, L: int, gx: int, gy: int, pgx: int,
                                             pl.ds(c0, PATCH_W)]
                             gtex_vmem[c, pl.ds(t0r, SUB_H),
                                       pl.ds(c0, PATCH_W)] = cur + gsub
-                            bb = jnp.dot(sub, wxd,
+                            b = jnp.dot(sub, wx,
+                                        preferred_element_type=jnp.float32,
+                                        precision=PRECISION)
+                            b2 = jnp.dot(sub, dwx,
                                          preferred_element_type=jnp.float32,
                                          precision=PRECISION)
-                            b = bb[:, :TILE_W]
-                            b2 = bb[:, TILE_W:]
                             gst_vmem[0, r:r + 1, :] = (
                                 gst_vmem[0, r:r + 1, :]
                                 + sc * s_in * jnp.sum(

@@ -351,9 +351,6 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                     0.0, SUB_H - 1.001)
                 wx, dwx = _wrow_pair(lsr, PATCH_W)          # (PW, 128) x2
                 wy, dwy = _wrow_pair(ltr, SUB_H)            # (SUB_H, 128) x2
-                # one contraction for both coordinate-gradient paths:
-                # [b | b2] = sub @ [wx | dwx]  (halves the matmul issues)
-                wxd = jnp.concatenate([wx, dwx], axis=1)    # (PW, 256)
                 gs_acc = jnp.zeros((1, TILE_W), jnp.float32)
                 gt_acc = jnp.zeros((1, TILE_W), jnp.float32)
                 for c in range(C):
@@ -369,12 +366,14 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                     cur = gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
                     gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)] = (
                         cur + gsub)
-                    # coordinate gradients
-                    bb = jnp.dot(sub, wxd,
+                    # coordinate gradients (kernel is VPU-bound: two
+                    # matmuls beat materializing a [wx|dwx] concat)
+                    b = jnp.dot(sub, wx,
+                                preferred_element_type=jnp.float32,
+                                precision=PRECISION)        # (SUB_H, 128)
+                    b2 = jnp.dot(sub, dwx,
                                  preferred_element_type=jnp.float32,
-                                 precision=PRECISION)       # (SUB_H, 256)
-                    b = bb[:, :TILE_W]
-                    b2 = bb[:, TILE_W:]
+                                 precision=PRECISION)
                     gs_acc += jnp.sum(wy * b2, axis=0, keepdims=True) * g
                     gt_acc += jnp.sum(dwy * b, axis=0, keepdims=True) * g
                 gs_rows.append(gs_acc)
