@@ -70,7 +70,7 @@ def _grad_kernel(gx: int, gy: int, pgx: int, mt: int, gbase: int,
                  # scalar prefetch
                  bin_start_ref, n_global_ref, gblk_ty_ref,
                  # inputs
-                 grad_init_hbm, entry_ref, u_ref, v_ref, extra_ref, gpl_ref,
+                 entry_ref, u_ref, v_ref, extra_ref, gpl_ref,
                  # outputs
                  grad_out_hbm, gglob_out_hbm,
                  # scratch
@@ -328,14 +328,12 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
 
     P = bins.sorted_rec_t.shape[1]
     gbase = int(P)
-    grad_init = jnp.zeros((REC, P), jnp.float32)
 
     img = lambda: pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(gy, pgx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),   # grad init (aliased)
             img(),                                   # entry
             img(),                                   # u
             img(),                                   # v
@@ -365,13 +363,12 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
             jax.ShapeDtypeStruct((REC, P), jnp.float32),
             jax.ShapeDtypeStruct((REC, MAX_GLOBAL), jnp.float32),
         ],
-        input_output_aliases={3: 0},
         interpret=interpret,
         # no has_side_effects: it would make the call non-fusible and
         # CHECK-crash XLA-TPU's custom-call fusion pass inside scan bodies
         # (see texture_tpu.py); outputs are consumed, DCE-safe without it.
     )(bins.bin_start, bins.n_global, bins.gblk_ty,
-      grad_init, entp, up, vp, exp_, gpl)
+      entp, up, vp, exp_, gpl)
 
     # Fold bin entries into per-triangle gradients. Valid entries are a
     # contiguous prefix of the sorted order, so a static cap bounds the
@@ -381,9 +378,9 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
     n_raw = bins.sorted_tri.shape[0]
     pair_cap = min(max(pair_cap, 1), n_raw)
     seg = jnp.minimum(bins.sorted_tri[:pair_cap], n_tris)  # invalid -> T bin
-    # Chunks holding no live bin entry are never flushed by the kernel —
-    # mask them (the aliased zero-init guarantees this in compiled mode,
-    # but interpret mode leaves unwritten output regions as garbage).
+    # Columns past the live prefix are never flushed by the kernel and
+    # stay uninitialized (bins partition [0, n_live), so every live
+    # chunk column IS fully written) — the live mask zeroes them here.
     n_live = bins.bin_start[-1]
     live = (jnp.arange(pair_cap, dtype=jnp.int32) < n_live)[:, None]
 
