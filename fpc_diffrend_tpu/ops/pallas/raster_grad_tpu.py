@@ -60,6 +60,11 @@ from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
     Bins, CHUNK, MAX_GLOBAL, N_EXTRA, N_PAYLOAD, REC, TILE_H, TILE_W,
     _split3_bf16, pad_resolution, tiles_per_program)
 
+# payload cotangent planes the kernel actually reads: [gu gv gz gtu gtv
+# g(x0..y2)] — the trailing neighbor-id planes (stop-gradient) are
+# sliced off before the pad/DMA.
+N_GPL = 11
+
 Array = jnp.ndarray
 
 _W_EPS = 1e-9
@@ -324,7 +329,8 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
         up = jnp.pad(u, ((0, ph - height), (0, pw - width)))
         vp = jnp.pad(v, ((0, ph - height), (0, pw - width)))
         exp_ = jnp.pad(extra, ((0, 0), (0, ph - height), (0, pw - width)))
-    gpl = jnp.pad(g_payload, ((0, 0), (0, ph - height), (0, pw - width)))
+    gpl = jnp.pad(g_payload[:N_GPL],
+                  ((0, 0), (0, ph - height), (0, pw - width)))
 
     P = bins.sorted_rec_t.shape[1]
     gbase = int(P)
@@ -339,7 +345,7 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
             img(),                                   # v
             pl.BlockSpec((N_EXTRA, TILE_H, bw),
                          lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((N_PAYLOAD, TILE_H, bw),
+            pl.BlockSpec((N_GPL, TILE_H, bw),
                          lambda i, j, *_: (0, i, j)),
         ],
         out_specs=[
