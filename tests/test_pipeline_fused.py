@@ -83,3 +83,29 @@ def test_fused_pipeline_gradients_match_scan(rng):
     denom = np.abs(gs).max()
     assert np.abs(gp - gs).max() / denom < 0.02, (
         np.abs(gp - gs).max(), denom)
+
+
+def test_render_multichannel_texture_scan():
+    """C=3 texture renders through the pipeline (nvdiffrast supports
+    C>1; the reference uses C=1 but the API must not)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fpc_diffrend_tpu.data.obj import build_topology
+    from fpc_diffrend_tpu.ops import pipeline
+
+    rng = np.random.default_rng(0)
+    pos = np.array([[-0.8, -0.8, 0], [0.8, -0.8, 0], [0.8, 0.8, 0],
+                    [-0.8, 0.8, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    tex = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    topo = build_topology(faces, 4)
+    img = pipeline.render(jnp.eye(4), jnp.asarray(pos), jnp.asarray(faces),
+                          jnp.asarray(uv), jnp.asarray(faces),
+                          jnp.asarray(tex), (48, 48),
+                          jnp.asarray(topo.face_neighbors), impl="scan")
+    img = np.asarray(img)
+    assert img.shape == (48, 48, 3)
+    assert np.isfinite(img).all()
+    # interior pixels carry the three distinct channels
+    assert np.abs(img[24, 24] - img[24, 24].mean()).max() > 1e-4
