@@ -213,3 +213,28 @@ def test_run_fit_scan_dispatch(config, scene):
     assert int(state.step) == 8
     assert [i for i, _ in seen] == [3, 7]
     assert all(np.isfinite(l) for _, l in seen)
+
+
+def test_binning_hlo_has_no_sort(scene):
+    """Rank binning keeps the XLA sort out of the hot render graph (it
+    dominated remote-compile time and ~a third of the binning stage;
+    the small fixed-size global-list sort is exempt). Guards the
+    default FPC_BIN_IMPL=rank placement."""
+    import jax
+    from fpc_diffrend_tpu.ops.pallas import rasterize_tpu as rt
+
+    h = w = 64
+
+    def bins_fn(pos_clip):
+        return rt.bin_scene(pos_clip, scene.faces, h, w,
+                            entry_cap=1024)[1].sorted_rec_t
+
+    pos_clip = jax.numpy.ones((scene.v_base.shape[0] // 3, 4),
+                              jax.numpy.float32)
+    hlo = jax.jit(bins_fn).lower(pos_clip).as_text()
+    # the only permitted sort is the small (T + MAX_GLOBAL,) global-list
+    # one; the (tile, tri) pair sort is over T * WINDOW keys
+    pair_sort = f"tensor<{int(scene.faces.shape[0]) * 8}xi32>"
+    offenders = [ln for ln in hlo.splitlines()
+                 if "sort" in ln and pair_sort in ln]
+    assert not offenders, offenders[:2]
