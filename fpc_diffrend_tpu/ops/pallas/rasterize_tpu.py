@@ -17,9 +17,10 @@ for the TPU execution model instead of a GPU pixel pipeline:
   * Binning runs in XLA: each triangle emits (tile, tri) pairs for a
     WINDOW_Y x WINDOW_X tile window anchored at its bbox; since a
     triangle covers each tile at most once, every pair's grouped
-    position is computed directly from per-tile running counts
-    (_place_rank — no sort; FPC_BIN_IMPL=sort keeps the key-sort path)
-    and a cumsum yields per-tile [start, end) ranges. Triangles too
+    position comes from one key-sort over the pairs (_place_sort;
+    FPC_BIN_IMPL=rank selects a sort-free running-count placement that
+    trades runtime for compile time) and a cumsum yields per-tile
+    [start, end) ranges. Triangles too
     large for the window go to a small global list loaded once into
     persistent VMEM and processed by every tile whose rows its
     32-record blocks overlap.
@@ -278,8 +279,10 @@ def _place_rank(tile_ids: Array, T: int, n_tiles: int, P: int):
 def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
                   height: int, width: int, aux: Array,
                   entry_cap: int | None = None) -> "Bins":
-    """Group triangles into per-tile bins (sort-free rank placement by
-    default; FPC_BIN_IMPL=sort selects the key-sort path).
+    """Group triangles into per-tile bins (key-sort placement by
+    default; FPC_BIN_IMPL=rank selects the sort-free rank path, which
+    compiles without the XLA sort but was measured ~3.5x slower at
+    runtime on the 30k-tri/2000-tile workload — see BENCHMARKS.md).
 
     :param entry_cap: static bound on live bin entries. Valid entries are
         a sorted prefix, so slicing to the cap before the record gather
@@ -317,7 +320,7 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
         cap = (cap + CHUNK - 1) // CHUNK * CHUNK
         P = min(cap, P)
 
-    if os.environ.get("FPC_BIN_IMPL", "rank") == "rank":
+    if os.environ.get("FPC_BIN_IMPL", "sort") == "rank":
         sorted_tri, bin_start = _place_rank(tile_ids, T, n_tiles, P)
     else:
         sorted_tri, bin_start = _place_sort(tile_ids, T, n_tiles, P)

@@ -215,13 +215,15 @@ def test_run_fit_scan_dispatch(config, scene):
     assert all(np.isfinite(l) for _, l in seen)
 
 
-def test_binning_hlo_has_no_sort(scene):
-    """Rank binning keeps the XLA sort out of the hot render graph (it
-    dominated remote-compile time and ~a third of the binning stage;
-    the small fixed-size global-list sort is exempt). Guards the
-    default FPC_BIN_IMPL=rank placement."""
+def test_binning_hlo_has_no_sort(scene, monkeypatch):
+    """The opt-in FPC_BIN_IMPL=rank placement keeps the XLA pair sort
+    out of the render graph (its value: remote-compile time; at runtime
+    it measured ~3.5x slower than the default key sort, BENCHMARKS.md).
+    The small fixed-size global-list sort is exempt."""
     import jax
     from fpc_diffrend_tpu.ops.pallas import rasterize_tpu as rt
+
+    monkeypatch.setenv("FPC_BIN_IMPL", "rank")
 
     h = w = 64
 
