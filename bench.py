@@ -31,7 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MPIX_S = 500.0
 
 
-def main():
+def build_workload():
+    """Construct the headline workload from the FPC_BENCH_* env knobs.
+
+    :return: dict with config, scene, state, frames_u8, batch, faces and
+        the scalar knobs — shared by bench.py and tools/profile_stages.py
+        so stage timings are taken on exactly the benched graph.
+    """
     import jax
     if os.environ.get("FPC_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
@@ -49,7 +55,6 @@ def main():
     W = int(os.environ.get("FPC_BENCH_RES_W", "1200"))
     g = int(os.environ.get("FPC_BENCH_GRID", "123"))
     B = int(os.environ.get("FPC_BENCH_BATCH", "8"))
-    iters = int(os.environ.get("FPC_BENCH_ITERS", "10"))
     impl = os.environ.get("FPC_BENCH_IMPL", "auto")
     texn = int(os.environ.get("FPC_BENCH_TEX", "1024"))
     # BASELINE.json config knobs: camera count, frame count, temporal
@@ -114,6 +119,22 @@ def main():
     cam = jnp.asarray(rng.integers(0, n_cams, B).astype(np.int32))
     fr = jnp.asarray(rng.integers(0, n_frames, B).astype(np.int32))
     batch = fit_loop.Batch(cam, fr, fit_loop.decode_refs(frames_u8, cam, fr))
+    return dict(config=config, scene=scene, state=state, params=params,
+                frames_u8=frames_u8, batch=batch, faces=faces,
+                H=H, W=W, B=B, n_frames=n_frames)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    wl = build_workload()
+    config, scene, state = wl["config"], wl["scene"], wl["state"]
+    frames_u8, batch, faces = wl["frames_u8"], wl["batch"], wl["faces"]
+    H, W, B, n_frames = wl["H"], wl["W"], wl["B"], wl["n_frames"]
+    iters = int(os.environ.get("FPC_BENCH_ITERS", "10"))
+
+    from fpc_diffrend_tpu.fit import loop as fit_loop
 
     # The production loop scans k steps per host dispatch with on-device
     # sampling (fit_loop.train_steps); k > 1 removes the per-step remote

@@ -1,0 +1,207 @@
+"""Stage-level timing of the headline fit step (bench.py workload).
+
+Times jitted sub-graphs of the exact benched step on the live backend
+and reports per-stage costs by subtraction:
+
+  binning | raster fwd kernel | texture+AA+composite fwd | render bwd
+  | losses+blend fwd/bwd | optimizer
+
+All timings use scalar-fetch synchronization (utils.profiling.time_fn)
+— multi-MB device->host transfers are unreliable on the remote attach.
+
+Usage: python tools/profile_stages.py  (FPC_BENCH_* env knobs apply)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from fpc_diffrend_tpu.fit import loop as fit_loop
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import bin_scene
+    from fpc_diffrend_tpu.ops.rasterize import _rasterize_pallas_full
+    from fpc_diffrend_tpu.ops.pipeline import transform_clip
+    from fpc_diffrend_tpu.utils.profiling import time_fn
+
+    wl = bench.build_workload()
+    config, scene, state = wl["config"], wl["scene"], wl["state"]
+    batch = wl["batch"]
+    H, W, B = wl["H"], wl["W"], wl["B"]
+    iters = int(os.environ.get("FPC_BENCH_ITERS", "5"))
+    cap = config.pair_cap if config.pair_cap > 0 else None
+    interp = jax.default_backend() != "tpu"   # CPU smoke path
+
+    params = state.params
+
+    def scalar(x):
+        # reduce any pytree to one scalar so sync is a tiny transfer
+        leaves = [jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(x)
+                  if jnp.issubdtype(l.dtype, jnp.floating)]
+        return sum(leaves)
+
+    def clips(p):
+        mvps = jax.vmap(lambda c, f: fit_loop.build_mvp(scene, p, c, f))(
+            batch.cam_idx, batch.frame_idx)
+        vtx = jax.vmap(lambda f: __import__(
+            "fpc_diffrend_tpu.models.blendshape", fromlist=["blend"]).blend(
+            config.mode, {**p, "deltas": scene.deltas}, scene.v_base, f,
+            config.combined_corrective_coefficient))(batch.frame_idx)
+        verts3 = vtx.reshape(B, -1, 3)
+        return jax.vmap(transform_clip)(mvps, verts3)
+
+    pos_clip = jax.jit(clips)(params)
+    pos_clip = jax.block_until_ready(pos_clip)
+
+    @jax.jit
+    def t_step(state):
+        # reduce the WHOLE new state to the sync scalar — returning only
+        # the loss metric lets XLA dead-code-eliminate the backward pass
+        new_state, met = fit_loop.train_step(config, scene, state, batch)
+        return met["loss"] + scalar(new_state.params)
+
+    @jax.jit
+    def t_fwd_loss(p):
+        total, _ = fit_loop.loss_fn(p, config, scene, batch, state.step)
+        return total
+
+    @jax.jit
+    def t_fb_loss(p):
+        g = jax.grad(lambda q: fit_loop.loss_fn(
+            q, config, scene, batch, state.step)[0])(p)
+        return scalar(g)
+
+    @jax.jit
+    def t_fwd_render(p):
+        imgs, _ = jax.vmap(lambda c, f: fit_loop.render_sample(
+            config, scene, p, c, f))(batch.cam_idx, batch.frame_idx)
+        return jnp.sum(imgs)
+
+    @jax.jit
+    def t_fb_render(p):
+        g = jax.grad(lambda q: jnp.sum(jax.vmap(
+            lambda c, f: fit_loop.render_sample(config, scene, q, c, f)[0]
+        )(batch.cam_idx, batch.frame_idx)))(p)
+        return scalar(g)
+
+    @jax.jit
+    def t_bin(pc):
+        def one(pc1):
+            from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import aux_records
+            aux = aux_records(scene.uv, scene.uv_idx.astype(jnp.int32), pc1,
+                              scene.faces, scene.face_neighbors, H, W)
+            data, bins = bin_scene(pc1, scene.faces, H, W, aux=aux,
+                                   entry_cap=cap)
+            return jnp.sum(bins.sorted_rec_t) + jnp.sum(data)
+        return jnp.sum(jax.vmap(one)(pc))
+
+    @jax.jit
+    def t_raster_fwd(pc):
+        def one(pc1):
+            rast, texc, *_ = _rasterize_pallas_full(
+                pc1, scene.faces, scene.uv, scene.uv_idx,
+                scene.face_neighbors, (H, W), interp, cap)
+            return jnp.sum(rast) + jnp.sum(texc)
+        return jnp.sum(jax.vmap(one)(pc))
+
+    @jax.jit
+    def t_raster_fb(pc):
+        def f(pcs):
+            def one(pc1):
+                rast, texc, *_ = _rasterize_pallas_full(
+                    pc1, scene.faces, scene.uv, scene.uv_idx,
+                    scene.face_neighbors, (H, W), interp, cap)
+                return jnp.sum(rast[..., :3]) + jnp.sum(texc)
+            return jnp.sum(jax.vmap(one)(pcs))
+        return scalar(jax.grad(f)(pc))
+
+    # fwd-computed inputs for the isolated texture / antialias stages
+    def raster_outs(pc):
+        def one(pc1):
+            rast, texc, _vi, _ni, _data, idbuf, payload = \
+                _rasterize_pallas_full(pc1, scene.faces, scene.uv,
+                                       scene.uv_idx, scene.face_neighbors,
+                                       (H, W), interp, cap)
+            return texc, idbuf, payload
+        return jax.vmap(one)(pc)
+
+    texc_b, idbuf_b, payload_b = jax.block_until_ready(
+        jax.jit(raster_outs)(pos_clip))
+    tex0 = params["tex"]
+
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
+        antialias_payload_pallas)
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import texture_pallas
+
+    @jax.jit
+    def t_tex_fwd(tex, texc):
+        return jnp.sum(jax.vmap(
+            lambda tc: texture_pallas(tex, tc, "wrap", interp))(texc))
+
+    @jax.jit
+    def t_tex_fb(tex, texc):
+        g = jax.grad(lambda t, tc: t_tex_fwd.__wrapped__(t, tc),
+                     argnums=(0, 1))(tex, texc)
+        return scalar(g)
+
+    @jax.jit
+    def t_aa_fwd(colour, idbuf, payload):
+        return jnp.sum(jax.vmap(
+            lambda c, i, p: antialias_payload_pallas(c, i, p, interp)
+        )(colour, idbuf, payload))
+
+    @jax.jit
+    def t_aa_fb(colour, idbuf, payload):
+        g = jax.grad(lambda c, p: t_aa_fwd.__wrapped__(c, idbuf, p),
+                     argnums=(0, 1))(colour, payload)
+        return scalar(g)
+
+    colour_b = jax.block_until_ready(jax.jit(
+        lambda texc: jax.vmap(
+            lambda tc: texture_pallas(tex0, tc, "wrap", interp))(texc)
+    )(texc_b))
+
+    rows = []
+
+    def run(name, fn, *args):
+        ms = time_fn(fn, *args, iters=iters)[0] * 1e3
+        rows.append((name, ms))
+        print(f"{name:<28s} {ms:9.1f} ms", flush=True)
+        return ms
+
+    step = run("train_step (full)", t_step, state)
+    fb_loss = run("loss fwd+bwd", t_fb_loss, params)
+    fwd_loss = run("loss fwd", t_fwd_loss, params)
+    fb_render = run("render fwd+bwd", t_fb_render, params)
+    fwd_render = run("render fwd", t_fwd_render, params)
+    raster_fb = run("raster+interp fwd+bwd", t_raster_fb, pos_clip)
+    raster_fwd = run("raster+interp fwd", t_raster_fwd, pos_clip)
+    binning = run("binning", t_bin, pos_clip)
+    tex_fb = run("texture fwd+bwd", t_tex_fb, tex0, texc_b)
+    tex_fwd = run("texture fwd", t_tex_fwd, tex0, texc_b)
+    aa_fb = run("antialias fwd+bwd", t_aa_fb, colour_b, idbuf_b, payload_b)
+    aa_fwd = run("antialias fwd", t_aa_fwd, colour_b, idbuf_b, payload_b)
+
+    print("\n--- derived (per batched step) ---")
+    print(f"binning:                    {binning:8.1f} ms")
+    print(f"raster fwd kernel:          {raster_fwd - binning:8.1f} ms")
+    print(f"raster bwd (grad+fold):     {raster_fb - raster_fwd:8.1f} ms")
+    print(f"texture fwd / bwd:          {tex_fwd:8.1f} / "
+          f"{tex_fb - tex_fwd:.1f} ms")
+    print(f"antialias fwd / bwd:        {aa_fwd:8.1f} / "
+          f"{aa_fb - aa_fwd:.1f} ms")
+    print(f"tex+AA+composite fwd:       {fwd_render - raster_fwd:8.1f} ms")
+    print(f"render bwd total:           {fb_render - fwd_render:8.1f} ms")
+    print(f"losses+blend fwd+bwd extra: {fb_loss - fb_render:8.1f} ms")
+    print(f"optimizer + renorm:         {step - fb_loss:8.1f} ms")
+    print(f"total step:                 {step:8.1f} ms "
+          f"({B * H * W / step / 1e3:.1f} Mpix/s)")
+
+
+if __name__ == "__main__":
+    main()
