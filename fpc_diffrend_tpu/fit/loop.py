@@ -27,7 +27,6 @@ from fpc_diffrend_tpu.fit import state as state_mod
 from fpc_diffrend_tpu.fit.config import FitConfig
 from fpc_diffrend_tpu.fit.scene import Scene
 from fpc_diffrend_tpu.models import blendshape, pose
-from fpc_diffrend_tpu.ops.pipeline import render
 
 Array = jnp.ndarray
 
@@ -49,23 +48,41 @@ def build_mvp(scene: Scene, params: dict, cam_idx, frame_idx) -> Array:
     return proj @ (rigid_pose @ (rigid_cam @ t_mv))
 
 
+def sample_clip_positions(config: FitConfig, scene: Scene, params: dict,
+                          cam_idx, frame_idx) -> tuple[Array, Array]:
+    """Blend + pose prologue shared by the render path and the stage
+    profiler (tools/profile_stages.py) so both run the identical graph.
+
+    :return: (pos_clip (V, 4), verts3 (V, 3))
+    """
+    from fpc_diffrend_tpu.models.camera import transform_clip
+
+    vtx = blendshape.blend(config.mode, {**params, "deltas": scene.deltas},
+                           scene.v_base, frame_idx,
+                           config.combined_corrective_coefficient)
+    verts3 = vtx.reshape(-1, 3)
+    mvp = build_mvp(scene, params, cam_idx, frame_idx)
+    return transform_clip(mvp, verts3), verts3
+
+
 def render_sample(config: FitConfig, scene: Scene, params: dict,
                   cam_idx, frame_idx) -> tuple[Array, Array]:
     """Blend + pose + render one (camera, frame) sample.
 
     :return: (image (H, W, 1), verts3 (V, 3))
     """
-    vtx = blendshape.blend(config.mode, {**params, "deltas": scene.deltas},
-                           scene.v_base, frame_idx,
-                           config.combined_corrective_coefficient)
-    verts3 = vtx.reshape(-1, 3)
-    mvp = build_mvp(scene, params, cam_idx, frame_idx)
-    img = render(mvp, verts3, scene.faces, scene.uv, scene.uv_idx,
-                 params["tex"], tuple(config.resolution),
-                 scene.face_neighbors, enable_mip=config.enable_mip,
-                 max_mip_level=config.max_mip_level, impl=config.raster_impl,
-                 aa_max_pairs=resolve_aa_max_pairs(config),
-                 pair_cap=config.pair_cap if config.pair_cap > 0 else None)
+    from fpc_diffrend_tpu.ops.pipeline import render_from_clip
+
+    pos_clip, verts3 = sample_clip_positions(config, scene, params,
+                                             cam_idx, frame_idx)
+    img = render_from_clip(pos_clip, scene.faces, scene.uv, scene.uv_idx,
+                           params["tex"], tuple(config.resolution),
+                           scene.face_neighbors, enable_mip=config.enable_mip,
+                           max_mip_level=config.max_mip_level,
+                           impl=config.raster_impl,
+                           aa_max_pairs=resolve_aa_max_pairs(config),
+                           pair_cap=config.pair_cap if config.pair_cap > 0
+                           else None)
     return img, verts3
 
 

@@ -60,6 +60,23 @@ def render(mvp: Array, pos: Array, pos_idx: Array, uv: Array, uv_idx: Array,
     :return: (H, W, C) image in [0, 1], row 0 = bottom (GL convention).
     """
     pos_clip = transform_clip(mvp, pos)
+    return render_from_clip(pos_clip, pos_idx, uv, uv_idx, tex, resolution,
+                            face_neighbors, enable_mip=enable_mip,
+                            max_mip_level=max_mip_level, impl=impl,
+                            background=background, aa_max_pairs=aa_max_pairs,
+                            pair_cap=pair_cap)
+
+
+def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
+                     uv_idx: Array, tex: Array, resolution: Tuple[int, int],
+                     face_neighbors: Array, enable_mip: bool = False,
+                     max_mip_level: int = 0, impl: str = "auto",
+                     background: float = BACKGROUND,
+                     aa_max_pairs: int | None = None,
+                     pair_cap: int | None = None) -> Array:
+    """:func:`render` taking precomputed clip-space positions — the shared
+    tail for callers that build ``pos_clip`` themselves (the fit loop's
+    profiler times the prologue and this tail on the identical graph)."""
     resolved_impl = impl
     if resolved_impl == "auto":
         resolved_impl = "pallas" if jax.default_backend() == "tpu" else "scan"

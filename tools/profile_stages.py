@@ -26,7 +26,6 @@ def main():
     from fpc_diffrend_tpu.fit import loop as fit_loop
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import bin_scene
     from fpc_diffrend_tpu.ops.rasterize import _rasterize_pallas_full
-    from fpc_diffrend_tpu.ops.pipeline import transform_clip
     from fpc_diffrend_tpu.utils.profiling import time_fn
 
     wl = bench.build_workload()
@@ -40,30 +39,33 @@ def main():
     params = state.params
 
     def scalar(x):
-        # reduce any pytree to one scalar so sync is a tiny transfer
-        leaves = [jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(x)
-                  if jnp.issubdtype(l.dtype, jnp.floating)]
+        # reduce any pytree to one scalar so sync is a tiny transfer;
+        # int leaves (step counters) are summed too so no output of the
+        # timed graph is dead-code-eliminable
+        leaves = [jnp.sum(l).astype(jnp.float32)
+                  for l in jax.tree.leaves(x)
+                  if jnp.issubdtype(l.dtype, jnp.floating)
+                  or jnp.issubdtype(l.dtype, jnp.integer)]
         return sum(leaves)
 
     def clips(p):
-        mvps = jax.vmap(lambda c, f: fit_loop.build_mvp(scene, p, c, f))(
-            batch.cam_idx, batch.frame_idx)
-        vtx = jax.vmap(lambda f: __import__(
-            "fpc_diffrend_tpu.models.blendshape", fromlist=["blend"]).blend(
-            config.mode, {**p, "deltas": scene.deltas}, scene.v_base, f,
-            config.combined_corrective_coefficient))(batch.frame_idx)
-        verts3 = vtx.reshape(B, -1, 3)
-        return jax.vmap(transform_clip)(mvps, verts3)
+        # the exact prologue of the benched step (fit_loop.render_sample
+        # shares this function), so stage inputs cannot drift from the
+        # benched graph
+        pc, _ = jax.vmap(lambda c, f: fit_loop.sample_clip_positions(
+            config, scene, p, c, f))(batch.cam_idx, batch.frame_idx)
+        return pc
 
     pos_clip = jax.jit(clips)(params)
     pos_clip = jax.block_until_ready(pos_clip)
 
     @jax.jit
     def t_step(state):
-        # reduce the WHOLE new state to the sync scalar — returning only
-        # the loss metric lets XLA dead-code-eliminate the backward pass
+        # reduce the WHOLE new state (params AND optimizer state) to the
+        # sync scalar — summing only params would let XLA dead-code-
+        # eliminate optimizer outputs that don't feed the param update
         new_state, met = fit_loop.train_step(config, scene, state, batch)
-        return met["loss"] + scalar(new_state.params)
+        return met["loss"] + scalar(new_state)
 
     @jax.jit
     def t_fwd_loss(p):
@@ -188,17 +190,25 @@ def main():
     aa_fwd = run("antialias fwd", t_aa_fwd, colour_b, idbuf_b, payload_b)
 
     print("\n--- derived (per batched step) ---")
-    print(f"binning:                    {binning:8.1f} ms")
-    print(f"raster fwd kernel:          {raster_fwd - binning:8.1f} ms")
-    print(f"raster bwd (grad+fold):     {raster_fb - raster_fwd:8.1f} ms")
+    print("# each stage is a separately jitted graph with its own fusion,")
+    print("# so derived differences need not sum to the full step; small")
+    print("# negative values are fusion noise and are flagged, not clamped")
+
+    def der(name, ms):
+        note = "  (fusion noise)" if ms < 0 else ""
+        print(f"{name:<28s}{ms:8.1f} ms{note}")
+
+    der("binning:", binning)
+    der("raster fwd kernel:", raster_fwd - binning)
+    der("raster bwd (grad+fold):", raster_fb - raster_fwd)
     print(f"texture fwd / bwd:          {tex_fwd:8.1f} / "
           f"{tex_fb - tex_fwd:.1f} ms")
     print(f"antialias fwd / bwd:        {aa_fwd:8.1f} / "
           f"{aa_fb - aa_fwd:.1f} ms")
-    print(f"tex+AA+composite fwd:       {fwd_render - raster_fwd:8.1f} ms")
-    print(f"render bwd total:           {fb_render - fwd_render:8.1f} ms")
-    print(f"losses+blend fwd+bwd extra: {fb_loss - fb_render:8.1f} ms")
-    print(f"optimizer + renorm:         {step - fb_loss:8.1f} ms")
+    der("tex+AA+composite fwd:", fwd_render - raster_fwd)
+    der("render bwd total:", fb_render - fwd_render)
+    der("losses+blend fwd+bwd extra:", fb_loss - fb_render)
+    der("optimizer + renorm:", step - fb_loss)
     print(f"total step:                 {step:8.1f} ms "
           f"({B * H * W / step / 1e3:.1f} Mpix/s)")
 
