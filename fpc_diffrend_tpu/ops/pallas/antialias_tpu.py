@@ -314,11 +314,12 @@ def _specs(P, gy, gx):
 
 
 def _aa_fwd_from_packed(packed, C, h, w, interpret):
+    """Raw (C, ph, pw) plane-major kernel output (pads preserved)."""
     ph, pw = packed.shape[1], packed.shape[2]
     gy, gx = ph // TILE_H, pw // TILE_W
     P = _C0 + C
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, C, gx, h, w),
         grid=(gy, gx),
         in_specs=_specs(P, gy, gx),
@@ -328,14 +329,14 @@ def _aa_fwd_from_packed(packed, C, h, w, interpret):
                         pltpu.VMEM((gx, C, 1, TILE_W), jnp.float32)],
         interpret=interpret,
     )(packed, packed, packed)
-    return jnp.moveaxis(out[:, :h, :w], 0, -1)
 
 
 def _aa_fwd_impl(color, idbuf, payload, interpret):
     h, w, C = color.shape
     ph, pw = pad_resolution(h, w)
     packed = _pack(color, idbuf, payload, ph, pw)
-    return _aa_fwd_from_packed(packed, C, h, w, interpret)
+    out = _aa_fwd_from_packed(packed, C, h, w, interpret)
+    return jnp.moveaxis(out[:, :h, :w], 0, -1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -347,7 +348,8 @@ def _aa_vjp_fwd(color, idbuf, payload, interpret):
     h, w, C = color.shape
     ph, pw = pad_resolution(h, w)
     packed = _pack(color, idbuf, payload, ph, pw)
-    out = _aa_fwd_from_packed(packed, C, h, w, interpret)
+    out = jnp.moveaxis(
+        _aa_fwd_from_packed(packed, C, h, w, interpret)[:, :h, :w], 0, -1)
     # the padded packed planes are the residual — the backward reuses
     # them instead of re-packing
     return out, (packed, h, w, C, payload.shape[0])
@@ -383,6 +385,98 @@ def _aa_vjp_bwd(interpret, res, g):
 
 
 _aa_core.defvjp(_aa_vjp_fwd, _aa_vjp_bwd)
+
+
+# ----------------------------------------------------------------------------
+# Padded plane-major entry (the production fused pipeline)
+# ----------------------------------------------------------------------------
+
+def _pack_planes(colour_planes, idbuf_p, payload_p):
+    """Packed (C+11, PH, PW) stack from already raster-padded planes.
+
+    The raster pad (8-row/128-col tiles) is re-padded to this kernel's
+    32x256 tiles when needed; pad values are irrelevant — any pair whose
+    pixels reach past the real (h, w) image is masked in the kernel."""
+    C = len(colour_planes)
+    ph, pw = idbuf_p.shape
+    ph2, pw2 = pad_resolution(ph, pw)
+    planes = [idbuf_p.astype(jnp.float32), payload_p[2]]
+    planes += [payload_p[5 + k] for k in range(6)]
+    planes += [payload_p[11 + k] for k in range(3)]
+    planes += list(colour_planes)
+    packed = jnp.stack(planes)
+    if (ph2, pw2) != (ph, pw):
+        packed = jnp.pad(packed, ((0, 0), (0, ph2 - ph), (0, pw2 - pw)),
+                         constant_values=-1.0)
+    return packed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _aa_planes_core(colour_planes, idbuf, payload, h: int, w: int,
+                    interpret: bool):
+    C = len(colour_planes)
+    packed = _pack_planes(colour_planes, idbuf, payload)
+    ph, pw = idbuf.shape
+    return _aa_fwd_from_packed(packed, C, h, w, interpret)[:, :ph, :pw]
+
+
+def _aa_planes_vjp_fwd(colour_planes, idbuf, payload, h, w, interpret):
+    C = len(colour_planes)
+    packed = _pack_planes(colour_planes, idbuf, payload)
+    ph, pw = idbuf.shape
+    out = _aa_fwd_from_packed(packed, C, h, w, interpret)[:, :ph, :pw]
+    return out, (packed, C, ph, pw, payload.shape[0])
+
+
+def _aa_planes_vjp_bwd(h, w, interpret, res, g):
+    packed, C, ph, pw, n_payload = res
+    ph2, pw2 = packed.shape[1], packed.shape[2]
+    gy, gx = ph2 // TILE_H, pw2 // TILE_W
+    P = _C0 + C
+    gout = g
+    if (ph2, pw2) != (ph, pw):
+        gout = jnp.pad(g, ((0, 0), (0, ph2 - ph), (0, pw2 - pw)))
+
+    gspec = pl.BlockSpec((C, TILE_H, TILE_W), lambda i, j: (0, i, j))
+    D = 6 + C
+    gcol, gverts = pl.pallas_call(
+        functools.partial(_bwd_kernel, C, gx, h, w),
+        grid=(gy, gx),
+        in_specs=_specs(P, gy, gx) + _specs(C, gy, gx),
+        out_specs=[gspec,
+                   pl.BlockSpec((6, TILE_H, TILE_W), lambda i, j: (0, i, j))],
+        out_shape=[jax.ShapeDtypeStruct((C, ph2, pw2), jnp.float32),
+                   jax.ShapeDtypeStruct((6, ph2, pw2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((D, TILE_H, 1), jnp.float32),
+                        pltpu.VMEM((gx, D, 1, TILE_W), jnp.float32)],
+        interpret=interpret,
+    )(packed, packed, packed, gout, gout, gout)
+
+    gcolour = tuple(gcol[c, :ph, :pw] for c in range(C))
+    gpayload = jnp.zeros((n_payload, ph, pw), jnp.float32)
+    gpayload = gpayload.at[5:11].set(gverts[:, :ph, :pw])
+    return gcolour, None, gpayload
+
+
+_aa_planes_core.defvjp(_aa_planes_vjp_fwd, _aa_planes_vjp_bwd)
+
+
+def antialias_planes_pallas(colour_planes, idbuf_p: Array,
+                            payload_p: Array, h: int, w: int,
+                            interpret: bool = False) -> Array:
+    """Antialias over padded plane-major inputs (fused pipeline path).
+
+    :param colour_planes: tuple of C (ph, pw) shaded planes (the Pallas
+        texture kernel's padded outputs).
+    :param idbuf_p / payload_p: the fused rasterizer's padded outputs.
+    :param h, w: real image size (pairs beyond it are masked).
+    :return: (C, ph, pw) antialiased planes, padded layout preserved;
+        differentiable w.r.t. ``colour_planes`` and the payload's
+        screen-corner planes.
+    """
+    assert payload_p.shape[0] == N_PAYLOAD
+    return _aa_planes_core(tuple(colour_planes), idbuf_p, payload_p, h, w,
+                           interpret)
 
 
 def antialias_payload_pallas(color: Array, idbuf: Array, payload: Array,

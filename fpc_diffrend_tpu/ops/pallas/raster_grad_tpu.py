@@ -329,8 +329,12 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
         up = jnp.pad(u, ((0, ph - height), (0, pw - width)))
         vp = jnp.pad(v, ((0, ph - height), (0, pw - width)))
         exp_ = jnp.pad(extra, ((0, 0), (0, ph - height), (0, pw - width)))
-    gpl = jnp.pad(g_payload[:N_GPL],
-                  ((0, 0), (0, ph - height), (0, pw - width)))
+    if g_payload.shape[1:] == (ph, pw):
+        # padded plane-major pipeline: cotangents arrive in kernel layout
+        gpl = g_payload[:N_GPL]
+    else:
+        gpl = jnp.pad(g_payload[:N_GPL],
+                      ((0, 0), (0, ph - height), (0, pw - width)))
 
     P = bins.sorted_rec_t.shape[1]
     gbase = int(P)
@@ -383,12 +387,10 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
         pair_cap = 6 * n_tris
     n_raw = bins.sorted_tri.shape[0]
     pair_cap = min(max(pair_cap, 1), n_raw)
-    seg = jnp.minimum(bins.sorted_tri[:pair_cap], n_tris)  # invalid -> T bin
     # Columns past the live prefix are never flushed by the kernel and
     # stay uninitialized (bins partition [0, n_live), so every live
     # chunk column IS fully written) — the live mask zeroes them here.
     n_live = bins.bin_start[-1]
-    live = (jnp.arange(pair_cap, dtype=jnp.int32) < n_live)[:, None]
 
     # Record slots 12 (tri id) and 28-31 (pad) never carry gradient —
     # fold only the 27 live columns (the fold is the stage's dominant
@@ -396,9 +398,23 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
     def live_cols(m):
         return jnp.concatenate([m[:, :12], m[:, 13:28]], axis=1)
 
-    grad_both = jax.ops.segment_sum(
-        live_cols(jnp.where(live, grad_pairs_t.T[:pair_cap], 0.0)), seg,
-        num_segments=n_tris + 1)[:n_tris]
+    if bins.inv_pos is not None:
+        # Gather fold (FPC_FOLD_IMPL=gather): each triangle reads its <=K
+        # window slots' gradient rows at their precomputed sorted
+        # positions and sums them — a (T, K, 27) gather + reshape-sum
+        # instead of segment_sum's scatter-add over the bin entries.
+        lim = jnp.minimum(jnp.int32(pair_cap), n_live)
+        pos = bins.inv_pos                                  # (T, K)
+        safe = jnp.minimum(pos, grad_pairs_t.shape[1] - 1)
+        rows = live_cols(grad_pairs_t.T)[safe]              # (T, K, 27)
+        ok = (pos < lim)[..., None]
+        grad_both = jnp.sum(jnp.where(ok, rows, 0.0), axis=1)
+    else:
+        seg = jnp.minimum(bins.sorted_tri[:pair_cap], n_tris)  # invalid -> T
+        live = (jnp.arange(pair_cap, dtype=jnp.int32) < n_live)[:, None]
+        grad_both = jax.ops.segment_sum(
+            live_cols(jnp.where(live, grad_pairs_t.T[:pair_cap], 0.0)), seg,
+            num_segments=n_tris + 1)[:n_tris]
 
     # Oversized-triangle contributions.
     gidx = jnp.minimum(bins.global_idx, n_tris)

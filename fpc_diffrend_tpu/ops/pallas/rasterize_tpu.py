@@ -187,26 +187,44 @@ class Bins(NamedTuple):
     global_idx: Array       # (MAX_GLOBAL,) i32 triangle index per global row
     gblk_ty: Array          # (2, MAX_GLOBAL // SUB) i32 per-block tile-row
                             # [min, max] ranges for predicated skipping
+    inv_pos: Array | None = None   # (T, K) i32 sorted position of each
+                            # (tri, window-slot) pair (P = dropped); only
+                            # built under FPC_FOLD_IMPL=gather
 
 
-def _place_sort(tile_ids: Array, T: int, n_tiles: int, P: int):
+def _place_sort(tile_ids: Array, T: int, n_tiles: int, P: int,
+                want_inv: bool = False):
     """Tile-grouped placement via one int32 key sort (round-1 path).
 
     Pack (tile, tri) into one key tile * T + tri (safe while
     (n_tiles + 1) * T < 2^31); ascending sort groups by tile with tri
     ascending inside each bin; the kept prefix of length P implements
     the entry cap.
+
+    :param want_inv: also return the inverse permutation — the sorted
+        position of each (tri, window-slot) pair, (T, K) i32 with dropped
+        or invalid pairs at P — used by the gather-based gradient fold.
     """
     tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
                                tile_ids.shape)
-    keys = jnp.sort((tile_ids * T + tri_ids).reshape(-1))[:P]
+    keys_flat = (tile_ids * T + tri_ids).reshape(-1)
+    inv = None
+    if want_inv:
+        pair_idx = jnp.arange(keys_flat.shape[0], dtype=jnp.int32)
+        keys_all, order = jax.lax.sort((keys_flat, pair_idx), num_keys=1)
+        keys = keys_all[:P]
+        inv = jnp.full((keys_flat.shape[0],), P, jnp.int32).at[
+            order[:P]].set(jnp.arange(P, dtype=jnp.int32),
+                           unique_indices=True).reshape(tile_ids.shape)
+    else:
+        keys = jnp.sort(keys_flat)[:P]
     sorted_tile = keys // T
     sorted_tri = keys % T
     counts = jnp.bincount(sorted_tile, length=n_tiles + 1)
     bin_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(counts[:n_tiles]).astype(jnp.int32)])
-    return sorted_tri, bin_start
+    return sorted_tri, bin_start, inv
 
 
 _RANK_CHUNK = 256
@@ -320,10 +338,14 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
         cap = (cap + CHUNK - 1) // CHUNK * CHUNK
         P = min(cap, P)
 
+    inv_pos = None
     if os.environ.get("FPC_BIN_IMPL", "sort") == "rank":
         sorted_tri, bin_start = _place_rank(tile_ids, T, n_tiles, P)
     else:
-        sorted_tri, bin_start = _place_sort(tile_ids, T, n_tiles, P)
+        # the gather-based gradient fold needs the inverse permutation
+        want_inv = os.environ.get("FPC_FOLD_IMPL", "segment") == "gather"
+        sorted_tri, bin_start, inv_pos = _place_sort(tile_ids, T, n_tiles,
+                                                     P, want_inv=want_inv)
 
     rec = jnp.concatenate([data, jax.lax.stop_gradient(aux)], axis=1)
     sorted_rec = rec[sorted_tri]
@@ -360,7 +382,8 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
 
     return Bins(sorted_rec_t=sorted_rec_t, bin_start=bin_start,
                 global_rec_t=global_rec_t, n_global=n_global.reshape(1),
-                sorted_tri=sorted_tri, global_idx=big_idx, gblk_ty=gblk_ty)
+                sorted_tri=sorted_tri, global_idx=big_idx, gblk_ty=gblk_ty,
+                inv_pos=inv_pos)
 
 
 # ----------------------------------------------------------------------------

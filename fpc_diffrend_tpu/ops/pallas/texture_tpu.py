@@ -192,17 +192,36 @@ def _prep(tex: Array, texc: Array, boundary_mode: str):
         masks (s_in, t_in) for coordinate-gradient gating, geometry).
     """
     th, tw, c = tex.shape
-    he, we = extended_shape(th, tw, boundary_mode)
-    tex_planes = _extend_texture(tex, boundary_mode)
-
     h, w = texc.shape[0], texc.shape[1]
     ph, pw = _pad_hw(h, w)
-    gy, gx = ph // TILE_H, pw // TILE_W
 
     s, t = _texel_coords(texc, th, tw, boundary_mode)
     # edge-pad so padded pixels don't distort the per-tile patch origin
     s = jnp.pad(s, ((0, ph - h), (0, pw - w)), mode="edge")
     t = jnp.pad(t, ((0, ph - h), (0, pw - w)), mode="edge")
+    uvp = jnp.pad(texc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    uv_nonzero = jnp.any(uvp != 0.0, axis=-1)
+    sr = tr = None
+    if boundary_mode != "wrap":
+        sr = texc[..., 0] * tw - 0.5
+        tr = texc[..., 1] * th - 0.5
+        sr = jnp.pad(sr, ((0, ph - h), (0, pw - w)), mode="edge")
+        tr = jnp.pad(tr, ((0, ph - h), (0, pw - w)), mode="edge")
+    return _prep_from_st(tex, s, t, uv_nonzero, sr, tr, h, w,
+                         boundary_mode)
+
+
+def _prep_from_st(tex: Array, s: Array, t: Array, uv_nonzero: Array,
+                  sr, tr, h: int, w: int, boundary_mode: str):
+    """Core of :func:`_prep` from already-padded (ph, pw) texel-coordinate
+    images (``sr``/``tr`` are the unclamped coords for the clamp-mode
+    border gate; None under wrap)."""
+    th, tw, c = tex.shape
+    he, we = extended_shape(th, tw, boundary_mode)
+    tex_planes = _extend_texture(tex, boundary_mode)
+
+    ph, pw = s.shape
+    gy, gx = ph // TILE_H, pw // TILE_W
 
     s4 = _seam_remap(s.reshape(gy, TILE_H, gx, TILE_W), tw, boundary_mode)
     t4 = _seam_remap(t.reshape(gy, TILE_H, gx, TILE_W), th, boundary_mode)
@@ -232,19 +251,14 @@ def _prep(tex: Array, texc: Array, boundary_mode: str):
     s_in = (s4 - c0f > 0.0) & (s4 - c0f < PATCH_W - 1.001)
     t_in = (t4 - t0rf > 0.0) & (t4 - t0rf < SUB_H - 1.001)
     if boundary_mode != "wrap":
-        sr = texc[..., 0] * tw - 0.5
-        tr = texc[..., 1] * th - 0.5
-        sr = jnp.pad(sr, ((0, ph - h), (0, pw - w)), mode="edge")
-        tr = jnp.pad(tr, ((0, ph - h), (0, pw - w)), mode="edge")
         s_in &= ((sr > 0.0) & (sr < tw - 1.001)).reshape(s4.shape)
         t_in &= ((tr > 0.0) & (tr < th - 1.001)).reshape(t4.shape)
 
     # Live tiles: any pixel with texc != (0, 0). Background pixels carry
     # exactly (0, 0) (ops/rasterize.py fused outputs), and a real pixel at
     # exactly (0, 0) samples the same value the background path writes.
-    uvp = jnp.pad(texc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-    uv4 = uvp.reshape(gy, TILE_H, gx, TILE_W, 2)
-    live = jnp.any(uv4 != 0.0, axis=(1, 3, 4)).reshape(-1).astype(jnp.int32)
+    uv4 = uv_nonzero.reshape(gy, TILE_H, gx, TILE_W)
+    live = jnp.any(uv4, axis=(1, 3)).reshape(-1).astype(jnp.int32)
 
     def img(x4):
         return x4.reshape(ph, pw)
@@ -546,6 +560,157 @@ def fits_resident(tex_h: int, tex_w: int, channels: int,
     return (channels <= 4
             and resident_bytes(tex_h, tex_w, channels,
                                boundary_mode) <= RESIDENT_LIMIT)
+
+
+# ----------------------------------------------------------------------------
+# Plane-major padded entry (the production fused pipeline)
+# ----------------------------------------------------------------------------
+
+def _prep_planes(tex3: Array, tu: Array, tv: Array, h: int, w: int,
+                 boundary_mode: str):
+    """:func:`_prep` for already tile-padded (ph, pw) uv planes (the fused
+    rasterizer's payload planes 3-4). Pad pixels carry uv = (0, 0) and
+    behave exactly like background pixels (live-tile skip, clamped-garbage
+    samples discarded by the final slice)."""
+    th, tw = tex3.shape[0], tex3.shape[1]
+    # _texel_coords inlined on the separate planes (no channel re-stack):
+    s = tu * tw - 0.5
+    t = tv * th - 0.5
+    if boundary_mode == "wrap":
+        s = jnp.mod(s, tw)
+        t = jnp.mod(t, th)
+        sr = tr = None
+    else:
+        sr, tr = s, t
+        s = jnp.clip(s, 0.0, tw - 1.001)
+        t = jnp.clip(t, 0.0, th - 1.001)
+    uv_nonzero = (tu != 0.0) | (tv != 0.0)
+    return _prep_from_st(tex3, s, t, uv_nonzero, sr, tr, h, w,
+                         boundary_mode)
+
+
+def _texture_planes_fwd_impl(tex, tu, tv, h, w, boundary_mode, interpret):
+    tex3 = tex[..., None] if tex.ndim == 2 else tex
+    (tex_planes, ls, lt, t0r, c0, live, _s_in, _t_in,
+     geom) = _prep_planes(tex3, tu, tv, h, w, boundary_mode)
+    th, tw, C, he, we, h, w, ph, pw, gy, gx = geom
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import tiles_per_program
+    mt = tiles_per_program(gx, "tex")
+    pgx, bw = gx // mt, mt * TILE_W
+    bg = _background_sample(tex3, boundary_mode)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(gy, pgx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  _img_spec(bw), _img_spec(bw)],
+        out_specs=[_img_spec(bw)] * C,
+        scratch_shapes=[pltpu.VMEM((C, he, we), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, C, gx, mt),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32)
+                   for _ in range(C)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+    )(t0r, c0, live, bg, tex_planes, ls, lt)
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _texture_planes_core(tex, tu, tv, h: int, w: int, boundary_mode: str,
+                         interpret: bool):
+    return _texture_planes_fwd_impl(tex, tu, tv, h, w, boundary_mode,
+                                    interpret)
+
+
+def _texture_planes_vjp_fwd(tex, tu, tv, h, w, boundary_mode, interpret):
+    out = _texture_planes_fwd_impl(tex, tu, tv, h, w, boundary_mode,
+                                   interpret)
+    return out, (tex, tu, tv)
+
+
+def _texture_planes_vjp_bwd(h, w, boundary_mode, interpret, res, g):
+    tex, tu, tv = res
+    squeeze = tex.ndim == 2
+    tex3 = tex[..., None] if squeeze else tex
+    (tex_planes, ls, lt, t0r, c0, _live, s_in, t_in,
+     geom) = _prep_planes(tex3, tu, tv, h, w, boundary_mode)
+    th, tw, C, he, we, h, w, ph, pw, gy, gx = geom
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import tiles_per_program
+    mt = tiles_per_program(gx, "tex")
+    pgx, bw = gx // mt, mt * TILE_W
+
+    g_planes = list(g)                       # C (ph, pw) cotangent planes
+    g4 = jnp.stack(g_planes).reshape(C, gy, TILE_H, gx, TILE_W)
+    live_b = jnp.any(g4 != 0.0, axis=(0, 2, 4)).reshape(-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(gy, pgx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  _img_spec(bw), _img_spec(bw)]
+        + [_img_spec(bw)] * C,
+        out_specs=[_img_spec(bw), _img_spec(bw),
+                   pl.BlockSpec(memory_space=pltpu.HBM)],
+        scratch_shapes=[pltpu.VMEM((C, he, we), jnp.float32),
+                        pltpu.VMEM((C, he, we), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+    )
+    gs_img, gt_img, gtex_planes = pl.pallas_call(
+        functools.partial(_bwd_kernel, C, gx, gy, pgx, mt),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+                   jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+                   jax.ShapeDtypeStruct((C, he, we), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+    )(t0r, c0, live_b, tex_planes, ls, lt, *g_planes)
+
+    gs_img, gt_img, gtex_planes = jax.lax.optimization_barrier(
+        (gs_img, gt_img, gtex_planes))
+
+    # padded-plane cotangents for the payload uv planes (tw/th chain rule
+    # from uv in [0,1] to texel coords); pad pixels are zero because their
+    # forward cotangents are zero (live_b skips all-pad tiles and the
+    # final image slice zeroes boundary-tile pad cotangents)
+    gtu = gs_img * s_in * tw
+    gtv = gt_img * t_in * th
+
+    gtex = jnp.transpose(gtex_planes, (1, 2, 0))
+    if boundary_mode == "wrap":
+        ah, aw = min(PATCH_H, th), min(PATCH_W, tw)
+        gtex = gtex.at[:ah, :].add(gtex[th:th + ah, :])
+        gtex = gtex.at[:, :aw].add(gtex[:, tw:tw + aw])
+    gtex = gtex[:th, :tw]
+    gtex_out = gtex[..., 0] if squeeze else gtex
+    return gtex_out, gtu, gtv
+
+
+_texture_planes_core.defvjp(_texture_planes_vjp_fwd, _texture_planes_vjp_bwd)
+
+
+def texture_planes_pallas(tex: Array, tu: Array, tv: Array, h: int, w: int,
+                          boundary_mode: str = "wrap",
+                          interpret: bool = False) -> tuple:
+    """Bilinear sampling from padded plane-major uv (the fused pipeline).
+
+    :param tex: (TH, TW, C) texture, C <= 4 (or (TH, TW)).
+    :param tu, tv: (ph, pw) tile-padded uv planes (fused payload 3-4).
+    :param h, w: real image size (pads behave as background).
+    :return: tuple of C (ph, pw) sample planes, padded layout preserved —
+        differentiable w.r.t. ``tex`` and the uv planes.
+    """
+    th, tw = tex.shape[0], tex.shape[1]
+    c = tex.shape[2] if tex.ndim == 3 else 1
+    if not fits_resident(th, tw, c, boundary_mode):
+        raise ValueError(
+            f"texture {tex.shape} exceeds the VMEM-resident limit; "
+            "use ops.texture.texture")
+    return _texture_planes_core(tex, tu, tv, h, w, boundary_mode, interpret)
 
 
 def texture_bilinear_pallas(tex: Array, texc: Array,

@@ -81,8 +81,7 @@ def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
     if resolved_impl == "auto":
         resolved_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
-    from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
-        fits_resident, texture_pallas)
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import fits_resident
 
     verts_img = neigh_img = None
     if enable_mip:
@@ -130,16 +129,37 @@ def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
     elif resolved_impl == "pallas":
         from fpc_diffrend_tpu.ops.rasterize import _rasterize_pallas_full
 
+        if fits_resident(tex.shape[0], tex.shape[1], tex.shape[-1], "wrap"):
+            # Production path: padded plane-major end to end. The fused
+            # rasterizer emits tile-padded planes; texture (VMEM-resident
+            # matmul sampler, wrap boundary matching nvdiffrast's default,
+            # reference fit.py:155), antialias and the background
+            # composite all stay in that layout, and the image is sliced
+            # to (H, W) exactly once at the end — no per-stage pad/slice
+            # HBM roundtrips in either direction of the autodiff graph.
+            from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
+                antialias_planes_pallas)
+            from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+                texture_planes_pallas)
+            from fpc_diffrend_tpu.ops.rasterize import (
+                _rasterize_pallas_padded)
+
+            height, width = resolution
+            idbuf_p, payload_p = _rasterize_pallas_padded(
+                pos_clip, pos_idx, uv, uv_idx, face_neighbors, resolution,
+                pair_cap)
+            colour_planes = texture_planes_pallas(
+                tex, payload_p[3], payload_p[4], height, width, "wrap")
+            aa_p = antialias_planes_pallas(colour_planes, idbuf_p,
+                                           payload_p, height, width)
+            img_p = jnp.where(idbuf_p >= 0, aa_p, background)
+            return jnp.moveaxis(img_p[:, :height, :width], 0, -1)
+
         rast, texc, verts_img, neigh_img, _data, idbuf, payload = \
             _rasterize_pallas_full(pos_clip, pos_idx, uv, uv_idx,
                                    face_neighbors, resolution, False,
                                    pair_cap)
-        if fits_resident(tex.shape[0], tex.shape[1], tex.shape[-1], "wrap"):
-            # VMEM-resident matmul sampler (no gathers); wrap boundary
-            # matching nvdiffrast's default (reference fit.py:155)
-            colour = texture_pallas(tex, texc, "wrap", False)
-        else:
-            colour = texture(tex, texc, filter_mode="linear")
+        colour = texture(tex, texc, filter_mode="linear")
     else:
         from fpc_diffrend_tpu.ops.rasterize import rasterize_with_uv
 

@@ -297,26 +297,35 @@ def _zero_ct(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def rasterize_fused(data, aux, bins, height: int, width: int,
-                    interpret: bool, pair_cap: int | None = None):
+                    interpret: bool, pair_cap: int | None = None,
+                    padded: bool = False):
     """Fully fused rasterization: one Pallas pass yields the winning-id
     buffer and a (N_PAYLOAD, H, W) payload [u v z tu tv x0 y0 x1 y1 x2 y2
     n0 n1 n2] with no per-pixel gathers; the backward is the Pallas
     gradient kernel. ``data`` (T, 16 triangle records) and ``aux``
     (T, 16 aux records from pallas.rasterize_tpu.aux_records) are the
     differentiable inputs; the primal only reads them through the
-    (stop-gradient) bins."""
+    (stop-gradient) bins.
+
+    :param padded: return outputs in the kernel's tile-padded (ph, pw)
+        layout instead of slicing to (height, width) — the plane-major
+        production pipeline stays padded end to end (texture, antialias,
+        composite) and slices once at the very end, and the backward then
+        receives padded cotangents the gradient kernel consumes directly.
+        Pad pixels behave like background (entry/id = -1 except covered
+        pad slack, whose cotangents are identically zero)."""
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
         fused_rasterize_from_bins)
 
     idbuf, payload, _entry, _extra = fused_rasterize_from_bins(
-        bins, height, width, interpret)
+        bins, height, width, interpret, padded=padded)
     return idbuf, payload
 
 
 def _rasterize_fused_fwd(data, aux, bins, height, width, interpret,
-                         pair_cap=None):
+                         pair_cap=None, padded=False):
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
         fused_rasterize_from_bins)
 
@@ -326,14 +335,18 @@ def _rasterize_fused_fwd(data, aux, bins, height, width, interpret,
     # copies per plane at 1600x1200 (pw 1200 -> 1280).
     idbuf_p, payload_p, entry_p, extra_p = fused_rasterize_from_bins(
         bins, height, width, interpret, padded=True)
-    idbuf = idbuf_p[:height, :width]
-    payload = payload_p[:, :height, :width]
+    if padded:
+        idbuf, payload = idbuf_p, payload_p
+    else:
+        idbuf = idbuf_p[:height, :width]
+        payload = payload_p[:, :height, :width]
     res = (entry_p, payload_p[0], payload_p[1], extra_p, bins,
            data.shape[0])
     return (idbuf, payload), res
 
 
-def _rasterize_fused_bwd(height, width, interpret, pair_cap, res, cts):
+def _rasterize_fused_bwd(height, width, interpret, pair_cap, padded, res,
+                         cts):
     from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
 
     entry, u, v, extra, bins, n_tris = res
@@ -345,6 +358,30 @@ def _rasterize_fused_bwd(height, width, interpret, pair_cap, res, cts):
 
 
 rasterize_fused.defvjp(_rasterize_fused_fwd, _rasterize_fused_bwd)
+
+
+def _rasterize_pallas_padded(pos_clip: Array, faces: Array, uv, uv_idx,
+                             face_neighbors, resolution,
+                             pair_cap: int | None = None,
+                             interpret: bool = False):
+    """Fused rasterize for the padded plane-major pipeline.
+
+    :return: (idbuf_p (ph, pw) i32, payload_p (N_PAYLOAD, ph, pw)) in the
+        kernel's tile-padded layout (see rasterize_fused ``padded``).
+    """
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        aux_records, bin_scene)
+
+    height, width = resolution
+    faces = faces.astype(jnp.int32)
+    aux = aux_records(uv, uv_idx.astype(jnp.int32), pos_clip, faces,
+                      face_neighbors, height, width)
+    data, bins = bin_scene(pos_clip, faces, height, width,
+                           aux=jax.lax.stop_gradient(aux),
+                           entry_cap=pair_cap)
+    bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
+    return rasterize_fused(data, aux, bins_sg, height, width, interpret,
+                           pair_cap, True)
 
 
 # ----------------------------------------------------------------------------

@@ -173,3 +173,20 @@ def test_fused_uv_interpolation_matches_composed(rng):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_c),
                                rtol=3e-3, atol=3e-3)
+
+
+def test_gather_fold_matches_segment_fold(rng, monkeypatch):
+    """FPC_FOLD_IMPL=gather (inverse-permutation gather + reshape-sum)
+    must produce the same per-triangle gradients as the default
+    segment-sum fold (different reduction order -> allclose)."""
+    pos, faces = random_scene(rng, n_tris=25)
+    res = (64, 64)
+
+    g_seg = jax.grad(lambda p: loss_fn(p, faces, res, "pallas", True))(pos)
+    jax.clear_caches()   # env is read at trace time; drop cached jits
+    monkeypatch.setenv("FPC_FOLD_IMPL", "gather")
+    g_gat = jax.grad(lambda p: loss_fn(p, faces, res, "pallas", True))(pos)
+    jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(g_gat), np.asarray(g_seg),
+                               rtol=1e-5, atol=1e-6)

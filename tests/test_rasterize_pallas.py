@@ -132,9 +132,23 @@ def test_place_rank_matches_sort():
 
     live = int((tile_ids < n_tiles).sum())
     for P in (T * K, 128, ((live // 2) // 128) * 128 or 128):
-        tri_s, bs_s = rt._place_sort(tid, T, n_tiles, P)
+        tri_s, bs_s, inv = rt._place_sort(tid, T, n_tiles, P, want_inv=True)
         tri_r, bs_r = rt._place_rank(tid, T, n_tiles, P)
         np.testing.assert_array_equal(np.asarray(bs_s), np.asarray(bs_r))
         n_live = int(np.asarray(bs_s)[-1])
         np.testing.assert_array_equal(np.asarray(tri_s)[:n_live],
                                       np.asarray(tri_r)[:n_live])
+
+        # the inverse permutation: every kept (tri, slot) pair's position
+        # must map back to that triangle; invalid pairs (sentinel tile)
+        # sort past the live prefix and cap-dropped pairs sit at P — the
+        # gather fold masks both with pos < n_live
+        inv_np = np.asarray(inv)
+        tri_np = np.asarray(tri_s)
+        for t in range(0, T, 37):
+            for k in range(K):
+                p = int(inv_np[t, k])
+                if tile_ids[t, k] >= n_tiles:
+                    assert p >= n_live
+                elif p < n_live:
+                    assert tri_np[p] == t
