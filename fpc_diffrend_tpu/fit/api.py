@@ -177,7 +177,16 @@ def fit_take(config: FitConfig, resume: bool = True):
         metrics_file.write(_json.dumps(record) + "\n")
         metrics_file.flush()
 
-    callbacks = [log_cb]
+    # train_step donates the incoming state's buffers, so fit_take's own
+    # `state` binding is dead the moment the first step runs — track the
+    # last COMPLETED state through the callback stream so the crash path
+    # below can checkpoint and save something alive.
+    latest = {"state": state}
+
+    def _track(i, st, metrics):
+        latest["state"] = st
+
+    callbacks = [_track, log_cb]
     if config.checkpoint_dir and config.checkpoint_interval:
         callbacks.append(ckpt_mod.checkpoint_callback(
             config.checkpoint_dir, config.checkpoint_interval))
@@ -209,20 +218,48 @@ def fit_take(config: FitConfig, resume: bool = True):
 
         callbacks.append(display_cb)
 
-    # Like the reference (fit.py:644-652), an interrupt still saves results.
+    # Like the reference (fit.py:644-652), an interrupt still saves
+    # results. Beyond the reference: SIGTERM (preemption) is converted to
+    # the same interrupt path, and ANY exit — interrupt, preemption or a
+    # crash mid-fit — leaves a resumable checkpoint of the last completed
+    # dispatch, so `fit_take(config)` after a failure continues instead
+    # of restarting (elastic single-host recovery; SURVEY.md §5).
+    import signal
+
+    def _sigterm(_sig, _frm):
+        raise KeyboardInterrupt
+
+    prev_handler = None
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+    except ValueError:
+        pass   # non-main thread: no handler, plain exception semantics
+
     try:
         remaining = config.max_iter - int(state.step)
         if remaining > 0:
             state = loop_mod.run_fit(config, scene, frames_u8, n_frames,
                                      callbacks=callbacks, state=state,
                                      n_steps=remaining)
+            latest["state"] = state
         jax.block_until_ready(state.params)
     except KeyboardInterrupt:
         print("Interrupted — saving partial results...")
     finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         metrics_file.close()
         if video is not None:
             video.close()
-        results_mod.save_results(config, scene, state.params, n_frames)
+        state = latest["state"]
+        if config.checkpoint_dir:
+            try:
+                ckpt_mod.save_checkpoint(config.checkpoint_dir, state)
+            except Exception as e:   # keep result saving alive regardless
+                print(f"WARNING: final checkpoint failed: {e}")
+        try:
+            results_mod.save_results(config, scene, state.params, n_frames)
+        except Exception as e:
+            print(f"WARNING: result saving failed: {e}")
     print("Done")
     return state

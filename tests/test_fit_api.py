@@ -111,3 +111,89 @@ def test_fit_take_display_interval(take_dirs, tmp_path):
         log_interval=0, display_interval=2)
     fit_api.fit_take(config, resume=False)
     assert os.path.exists(os.path.join(out_dir, "preview.png"))
+
+
+def test_fit_take_crash_leaves_resumable_checkpoint(take_dirs, tmp_path):
+    """Fault injection: a crash mid-fit must leave a checkpoint of the
+    last completed step AND the partial results; a plain re-invocation
+    then resumes from it (not from scratch) and completes (elastic
+    single-host recovery, SURVEY.md §5)."""
+    out_dir = str(tmp_path / "out_crash")
+    config = FitConfig(
+        max_iter=8, lr_base=1e-4, lr_t=1e-4, lr_q=1e-5,
+        basemeshpath=str(take_dirs / "basemesh.obj"),
+        localblpath=str(take_dirs / "blendshapes"),
+        imdir=str(take_dirs / "take"),
+        calibpath=str(take_dirs / "calibration.json"),
+        out_dir=out_dir, resolution=RES, texshape=(8, 8, 1),
+        mode="prior", cam_idxs=(0,), batch_size=2, raster_impl="scan",
+        log_interval=1,
+        checkpoint_dir=str(tmp_path / "ckpt_crash"), checkpoint_interval=0)
+
+    calls = []
+
+    def bomb(i, st, metrics):
+        calls.append(i)
+        if i >= 3:
+            raise RuntimeError("injected fault")
+
+    orig_run_fit = fit_api.loop_mod.run_fit
+
+    def run_fit_with_bomb(cfg, scene, frames, n_frames, callbacks=None,
+                          state=None, n_steps=None):
+        return orig_run_fit(cfg, scene, frames, n_frames,
+                            callbacks=(callbacks or []) + [bomb],
+                            state=state, n_steps=n_steps)
+
+    fit_api.loop_mod.run_fit = run_fit_with_bomb
+    try:
+        with pytest.raises(RuntimeError, match="injected fault"):
+            fit_api.fit_take(config)
+    finally:
+        fit_api.loop_mod.run_fit = orig_run_fit
+
+    # crash checkpoint exists and holds the last completed step
+    from fpc_diffrend_tpu.fit import checkpoint as ckpt_mod
+
+    latest = ckpt_mod.latest_checkpoint(config.checkpoint_dir)
+    assert latest is not None
+    # partial results were still written (reference interrupt semantics)
+    assert os.path.exists(os.path.join(out_dir, "result", "texture.png"))
+
+    # plain re-invocation resumes from the crash checkpoint and completes
+    state = fit_api.fit_take(config)
+    assert int(state.step) == 8
+    assert np.isfinite(np.asarray(state.params["tex"])).all()
+
+
+def test_checkpoint_restore_is_bit_exact(take_dirs, tmp_path):
+    """save/restore roundtrip of the full TrainState (params, optimizer
+    moments, step) is bit-exact — a resumed fit continues from EXACTLY
+    the state the crashed run last completed."""
+    import jax
+
+    from fpc_diffrend_tpu.fit import checkpoint as ckpt_mod
+    from fpc_diffrend_tpu.fit import state as state_mod
+
+    config = FitConfig(
+        max_iter=2, resolution=RES, texshape=(8, 8, 1), mode="free",
+        cam_idxs=(0,), batch_size=1, raster_impl="scan")
+    rng = np.random.default_rng(1)
+    tex = rng.uniform(size=(8, 8, 1)).astype(np.float32)
+    params = state_mod.init_params(config, 2, 12, 2, tex, 1)
+    state = state_mod.init_state(config, params)
+    # make optimizer moments nonzero so the roundtrip covers them
+    state = state_mod.TrainState(
+        step=state.step + 3,
+        params=jax.tree.map(lambda x: x + 0.125, state.params),
+        opt_state=state.opt_state)
+
+    path = ckpt_mod.save_checkpoint(str(tmp_path / "ck"), state)
+    restored = ckpt_mod.restore_checkpoint(path, state)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
