@@ -122,39 +122,44 @@ def main():
             return jnp.sum(jax.vmap(one)(pcs))
         return scalar(jax.grad(f)(pc))
 
-    # fwd-computed inputs for the isolated texture / antialias stages
+    # fwd-computed inputs for the isolated texture / antialias stages —
+    # the PADDED plane-major production path (ops/pipeline.py)
+    from fpc_diffrend_tpu.ops.rasterize import _rasterize_pallas_padded
+
     def raster_outs(pc):
         def one(pc1):
-            rast, texc, _vi, _ni, _data, idbuf, payload = \
-                _rasterize_pallas_full(pc1, scene.faces, scene.uv,
-                                       scene.uv_idx, scene.face_neighbors,
-                                       (H, W), interp, cap)
-            return texc, idbuf, payload
+            idbuf_p, payload_p = _rasterize_pallas_padded(
+                pc1, scene.faces, scene.uv, scene.uv_idx,
+                scene.face_neighbors, (H, W), cap, interp)
+            return idbuf_p, payload_p
         return jax.vmap(one)(pc)
 
-    texc_b, idbuf_b, payload_b = jax.block_until_ready(
+    idbuf_b, payload_b = jax.block_until_ready(
         jax.jit(raster_outs)(pos_clip))
     tex0 = params["tex"]
 
     from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
-        antialias_payload_pallas)
-    from fpc_diffrend_tpu.ops.pallas.texture_tpu import texture_pallas
+        antialias_planes_pallas)
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+        texture_planes_pallas)
 
     @jax.jit
-    def t_tex_fwd(tex, texc):
-        return jnp.sum(jax.vmap(
-            lambda tc: texture_pallas(tex, tc, "wrap", interp))(texc))
+    def t_tex_fwd(tex, payload):
+        out = jax.vmap(lambda p: jnp.stack(texture_planes_pallas(
+            tex, p[3], p[4], H, W, "wrap", interp)))(payload)
+        return jnp.sum(out)
 
     @jax.jit
-    def t_tex_fb(tex, texc):
-        g = jax.grad(lambda t, tc: t_tex_fwd.__wrapped__(t, tc),
-                     argnums=(0, 1))(tex, texc)
+    def t_tex_fb(tex, payload):
+        g = jax.grad(lambda t, p: t_tex_fwd.__wrapped__(t, p),
+                     argnums=(0, 1))(tex, payload)
         return scalar(g)
 
     @jax.jit
     def t_aa_fwd(colour, idbuf, payload):
         return jnp.sum(jax.vmap(
-            lambda c, i, p: antialias_payload_pallas(c, i, p, interp)
+            lambda c, i, p: antialias_planes_pallas(tuple(c), i, p, H, W,
+                                                    interp)
         )(colour, idbuf, payload))
 
     @jax.jit
@@ -164,9 +169,43 @@ def main():
         return scalar(g)
 
     colour_b = jax.block_until_ready(jax.jit(
-        lambda texc: jax.vmap(
-            lambda tc: texture_pallas(tex0, tc, "wrap", interp))(texc)
-    )(texc_b))
+        lambda payload: jax.vmap(lambda p: jnp.stack(texture_planes_pallas(
+            tex0, p[3], p[4], H, W, "wrap", interp)))(payload)
+    )(payload_b))
+
+    # micro-rows: the binning key sort alone, and the loss path without
+    # the laplacian (isolates the regularizer's segment ops)
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        WINDOW_X, WINDOW_Y, _place_sort, pad_resolution)
+
+    PH, PW = pad_resolution(H, W)
+    n_tiles = (PH // 8) * (PW // 128)
+    T = int(scene.faces.shape[0])
+    Pcap = cap if cap else T * WINDOW_X * WINDOW_Y
+
+    @jax.jit
+    def t_bin_sort(pc):
+        # same key distribution as the real binning (tile ids from bbox)
+        def one(pc1):
+            from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+                triangle_setup)
+            data, bbox, valid = triangle_setup(pc1, scene.faces, H, W)
+            k = jnp.arange(WINDOW_X * WINDOW_Y, dtype=jnp.int32)
+            tx = bbox[:, 0:1] + (k % WINDOW_X)[None, :]
+            ty = bbox[:, 1:2] + (k // WINDOW_X)[None, :]
+            tids = jnp.where(valid[:, None], ty * (PW // 128) + tx, n_tiles)
+            st, bs, _ = _place_sort(tids, T, n_tiles, min(Pcap, T * 8))
+            return jnp.sum(st) + jnp.sum(bs)
+        return jnp.sum(jax.vmap(one)(pc))
+
+    import dataclasses as _dc
+    cfg_nolap = _dc.replace(config, weight_laplacian=0.0)
+
+    @jax.jit
+    def t_fb_loss_nolap(p):
+        g = jax.grad(lambda q: fit_loop.loss_fn(
+            q, cfg_nolap, scene, batch, state.step)[0])(p)
+        return scalar(g)
 
     rows = []
 
@@ -184,10 +223,12 @@ def main():
     raster_fb = run("raster+interp fwd+bwd", t_raster_fb, pos_clip)
     raster_fwd = run("raster+interp fwd", t_raster_fwd, pos_clip)
     binning = run("binning", t_bin, pos_clip)
-    tex_fb = run("texture fwd+bwd", t_tex_fb, tex0, texc_b)
-    tex_fwd = run("texture fwd", t_tex_fwd, tex0, texc_b)
+    bin_sort = run("binning: key sort only", t_bin_sort, pos_clip)
+    tex_fb = run("texture fwd+bwd", t_tex_fb, tex0, payload_b)
+    tex_fwd = run("texture fwd", t_tex_fwd, tex0, payload_b)
     aa_fb = run("antialias fwd+bwd", t_aa_fb, colour_b, idbuf_b, payload_b)
     aa_fwd = run("antialias fwd", t_aa_fwd, colour_b, idbuf_b, payload_b)
+    fb_nolap = run("loss fwd+bwd (no laplacian)", t_fb_loss_nolap, params)
 
     print("\n--- derived (per batched step) ---")
     print("# each stage is a separately jitted graph with its own fusion,")
@@ -199,6 +240,7 @@ def main():
         print(f"{name:<28s}{ms:8.1f} ms{note}")
 
     der("binning:", binning)
+    der("binning: key sort share:", bin_sort)
     der("raster fwd kernel:", raster_fwd - binning)
     der("raster bwd (grad+fold):", raster_fb - raster_fwd)
     print(f"texture fwd / bwd:          {tex_fwd:8.1f} / "
@@ -208,6 +250,7 @@ def main():
     der("tex+AA+composite fwd:", fwd_render - raster_fwd)
     der("render bwd total:", fb_render - fwd_render)
     der("losses+blend fwd+bwd extra:", fb_loss - fb_render)
+    der("laplacian term share:", fb_loss - fb_nolap)
     der("optimizer + renorm:", step - fb_loss)
     print(f"total step:                 {step:8.1f} ms "
           f"({B * H * W / step / 1e3:.1f} Mpix/s)")
