@@ -138,6 +138,12 @@ class MeshTopology:
     degree: np.ndarray
     face_neighbors: np.ndarray
     n_vertices: int
+    # padded neighbor table: (V, max_degree) int32 neighbor indices (pad =
+    # own index) + (V, max_degree) float32 validity mask. The undirected
+    # adjacency is symmetric, so a neighbor-table sum is its own VJP —
+    # ops/mesh_ops.py:neighbor_sum uses this for a scatter-free Laplacian.
+    nbr_idx: np.ndarray = None
+    nbr_mask: np.ndarray = None
 
 
 def build_topology(faces: np.ndarray, n_vertices: int) -> MeshTopology:
@@ -178,6 +184,19 @@ def build_topology(faces: np.ndarray, n_vertices: int) -> MeshTopology:
     degree = np.zeros(n_vertices, dtype=np.float32)
     np.add.at(degree, neighbor_src, 1.0)
 
+    # Padded per-vertex neighbor table (pad = own index, mask 0).
+    max_deg = max(int(degree.max()), 1) if degree.size else 1
+    nbr_idx = np.tile(np.arange(n_vertices, dtype=np.int64)[:, None],
+                      (1, max_deg))
+    nbr_mask = np.zeros((n_vertices, max_deg), np.float32)
+    so = np.argsort(neighbor_src, kind="stable")
+    src_s = neighbor_src[so]
+    dst_s = neighbor_dst[so]
+    first = np.searchsorted(src_s, np.arange(n_vertices))
+    slot = np.arange(src_s.shape[0]) - first[src_s]
+    nbr_idx[src_s, slot] = dst_s
+    nbr_mask[src_s, slot] = 1.0
+
     return MeshTopology(
         edges=edges.astype(np.int32),
         edge_face_pairs=edge_face_pairs.astype(np.int32),
@@ -186,4 +205,6 @@ def build_topology(faces: np.ndarray, n_vertices: int) -> MeshTopology:
         degree=degree,
         face_neighbors=face_neighbors.astype(np.int32),
         n_vertices=n_vertices,
+        nbr_idx=nbr_idx.astype(np.int32),
+        nbr_mask=nbr_mask,
     )

@@ -115,9 +115,13 @@ def loss_fn(params: dict, config: FitConfig, scene: Scene, batch: Batch,
             v, scene.edges, config.meshedge_target))(verts3)
         mel_m = config.weight_meshedge * mel.mean()
     if config.weight_laplacian:
-        lap = jax.vmap(lambda v: mesh_ops.mesh_laplacian_smoothing(
-            v, scene.neighbor_src, scene.neighbor_dst,
-            scene.degree))(verts3)
+        if scene.nbr_idx is not None:
+            lap = jax.vmap(lambda v: mesh_ops.mesh_laplacian_smoothing_padded(
+                v, scene.nbr_idx, scene.nbr_mask, scene.degree))(verts3)
+        else:
+            lap = jax.vmap(lambda v: mesh_ops.mesh_laplacian_smoothing(
+                v, scene.neighbor_src, scene.neighbor_dst,
+                scene.degree))(verts3)
         lap_m = config.weight_laplacian * (lap ** 2).mean()
     if config.weight_normalconsistency:
         mnc = jax.vmap(lambda v: mesh_ops.mesh_normal_consistency(

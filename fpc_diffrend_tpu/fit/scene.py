@@ -35,6 +35,10 @@ class Scene(NamedTuple):
     degree: jnp.ndarray
     edge_face_pairs: jnp.ndarray
     face_neighbors: jnp.ndarray
+    # padded neighbor table for the scatter-free Laplacian (may be None
+    # for Scenes built before this field existed)
+    nbr_idx: jnp.ndarray | None = None
+    nbr_mask: jnp.ndarray | None = None
 
     @property
     def n_vertices(self) -> int:
@@ -90,4 +94,6 @@ def build_scene(basemesh: objlib.MeshData, proj: np.ndarray, mv: np.ndarray,
         degree=jnp.asarray(topo.degree),
         edge_face_pairs=jnp.asarray(topo.edge_face_pairs),
         face_neighbors=jnp.asarray(topo.face_neighbors),
+        nbr_idx=jnp.asarray(topo.nbr_idx),
+        nbr_mask=jnp.asarray(topo.nbr_mask),
     )

@@ -54,6 +54,50 @@ def uniform_laplacian(verts3: Array, neighbor_src: Array, neighbor_dst: Array,
     return sums / deg - verts3
 
 
+@jax.custom_vjp
+def neighbor_sum(verts3: Array, nbr_idx: Array, nbr_mask: Array) -> Array:
+    """Sum of each vertex's neighbors' values, scatter-free both ways.
+
+    ``nbr_idx``/``nbr_mask`` are the padded (V, max_degree) neighbor table
+    (data/obj.py:build_topology). The undirected adjacency matrix is
+    symmetric, so this operation is self-adjoint: its VJP is the SAME
+    padded-gather sum applied to the cotangent. XLA autodiff of a
+    segment_sum formulation instead emits an image-of-the-mesh-sized
+    scatter-add (~450M floats/s on TPU); this keeps both directions on
+    the gather path.
+    """
+    return jnp.sum(jnp.where(nbr_mask[..., None], verts3[nbr_idx], 0.0),
+                   axis=1)
+
+
+def _neighbor_sum_fwd(verts3, nbr_idx, nbr_mask):
+    return neighbor_sum(verts3, nbr_idx, nbr_mask), (nbr_idx, nbr_mask)
+
+
+def _neighbor_sum_bwd(res, g):
+    nbr_idx, nbr_mask = res
+    gv = jnp.sum(jnp.where(nbr_mask[..., None], g[nbr_idx], 0.0), axis=1)
+    return gv, None, None
+
+
+neighbor_sum.defvjp(_neighbor_sum_fwd, _neighbor_sum_bwd)
+
+
+def uniform_laplacian_padded(verts3: Array, nbr_idx: Array, nbr_mask: Array,
+                             degree: Array) -> Array:
+    """:func:`uniform_laplacian` on the padded neighbor table (same
+    values, no scatters in forward or backward)."""
+    deg = jnp.maximum(degree, 1.0)[:, None]
+    return neighbor_sum(verts3, nbr_idx, nbr_mask) / deg - verts3
+
+
+def mesh_laplacian_smoothing_padded(verts3: Array, nbr_idx: Array,
+                                    nbr_mask: Array, degree: Array) -> Array:
+    """:func:`mesh_laplacian_smoothing` via the padded neighbor table."""
+    lap = uniform_laplacian_padded(verts3, nbr_idx, nbr_mask, degree)
+    return jnp.mean(jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-12))
+
+
 def mesh_laplacian_smoothing(verts3: Array, neighbor_src: Array,
                              neighbor_dst: Array, degree: Array) -> Array:
     """Mean over vertices of the L2 norm of the uniform Laplacian.

@@ -54,7 +54,11 @@ TILE_W = 128              # tile width in pixels (VPU lanes)
 WINDOW_Y = 4              # binning window in tiles (32 px tall)
 WINDOW_X = 2              # binning window in tiles (256 px wide)
 CHUNK = 128               # triangles DMA'd per bin chunk
-SUB = 32                  # predicated sub-block granularity within a chunk
+# Predicated sub-block granularity within a chunk: bins average a few
+# dozen records, so the phase-A waste is ~SUB/2 padded records per bin
+# end; smaller SUB trades padding waste for more predication branches.
+# Env override FPC_SUB for A/B tuning (must divide CHUNK, multiple of 8).
+SUB = int(os.environ.get("FPC_SUB", "32"))
 MAX_GLOBAL = 1024         # cap for oversized-triangle global list
 REC = 32                  # floats per combined triangle record
 # payload plane order emitted by the fused kernel (after the id plane)

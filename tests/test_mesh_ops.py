@@ -77,3 +77,47 @@ def test_edge_loss_finite_difference():
         vm = v.at[i, j].add(-eps)
         fd = (float(f(vp)) - float(f(vm))) / (2 * eps)
         np.testing.assert_allclose(g[i, j], fd, atol=1e-3)
+
+
+def test_padded_laplacian_matches_segment(rng):
+    """The scatter-free padded-neighbor-table Laplacian must equal the
+    segment-sum formulation in both value and gradient."""
+    import jax
+
+    from fpc_diffrend_tpu.data import obj as objlib
+
+    n = 7
+    ys, xs = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n),
+                         indexing="ij")
+    verts = np.stack([xs, ys, 0.3 * rng.normal(size=xs.shape)],
+                     -1).reshape(-1, 3).astype(np.float32)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces.append([a, a + 1, a + n])
+            faces.append([a + 1, a + n + 1, a + n])
+    topo = objlib.build_topology(np.asarray(faces, np.int32), verts.shape[0])
+
+    v = jnp.asarray(verts)
+
+    def seg(v):
+        return mesh_ops.mesh_laplacian_smoothing(
+            v, jnp.asarray(topo.neighbor_src), jnp.asarray(topo.neighbor_dst),
+            jnp.asarray(topo.degree))
+
+    def pad(v):
+        return mesh_ops.mesh_laplacian_smoothing_padded(
+            v, jnp.asarray(topo.nbr_idx), jnp.asarray(topo.nbr_mask),
+            jnp.asarray(topo.degree))
+
+    np.testing.assert_allclose(np.asarray(pad(v)), np.asarray(seg(v)),
+                               rtol=1e-6)
+    gs = jax.grad(seg)(v)
+    gp = jax.grad(pad)(v)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                               rtol=1e-5, atol=1e-7)
+
+    # the padded-table VJP must contain no scatter in its HLO
+    hlo = jax.jit(jax.grad(pad)).lower(v).as_text()
+    assert "scatter" not in hlo
