@@ -303,14 +303,30 @@ def _pack(color: Array, idbuf: Array, payload: Array, ph: int, pw: int):
 
 
 def _specs(P, gy, gx):
-    def blk(fi, fj):
-        return pl.BlockSpec((P, TILE_H, TILE_W),
-                            lambda i, j: (0, fi(i, j), fj(i, j)))
+    """cur block + thin right/down halo blocks.
 
-    cur = blk(lambda i, j: i, lambda i, j: j)
-    right = blk(lambda i, j: i, lambda i, j: jnp.minimum(j + 1, gx - 1))
-    down = blk(lambda i, j: jnp.minimum(i + 1, gy - 1), lambda i, j: j)
+    The kernel reads only the right neighbor's FIRST COLUMN and the down
+    neighbor's FIRST ROW (the b-side of edge pairs, consumed via
+    _shift_left/_shift_up slicing) — fetching full neighbor blocks would
+    re-read every packed plane 3x from HBM. The halos are precomputed
+    strided slices (_halos): right (P, ph, gx) column-per-block, down
+    (P, gy, pw) row-per-block."""
+    cur = pl.BlockSpec((P, TILE_H, TILE_W), lambda i, j: (0, i, j))
+    right = pl.BlockSpec((P, TILE_H, 1), lambda i, j: (0, i, j))
+    down = pl.BlockSpec((P, 1, TILE_W), lambda i, j: (0, i, j))
     return [cur, right, down]
+
+
+def _halos(packed):
+    """(right_halo, down_halo) strided-slice views of the packed planes:
+    right_halo[:, :, j] = first column of block column j+1 (edge blocks
+    duplicate the last column — their pairs are masked in the kernel);
+    down_halo[:, i, :] = first row of block row i+1."""
+    s = packed[:, :, ::TILE_W]
+    rh = jnp.concatenate([s[:, :, 1:], s[:, :, -1:]], axis=2)
+    d = packed[:, ::TILE_H, :]
+    dh = jnp.concatenate([d[:, 1:, :], d[:, -1:, :]], axis=1)
+    return rh, dh
 
 
 def _aa_fwd_from_packed(packed, C, h, w, interpret):
@@ -319,6 +335,7 @@ def _aa_fwd_from_packed(packed, C, h, w, interpret):
     gy, gx = ph // TILE_H, pw // TILE_W
     P = _C0 + C
 
+    rh, dh = _halos(packed)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, C, gx, h, w),
         grid=(gy, gx),
@@ -328,7 +345,7 @@ def _aa_fwd_from_packed(packed, C, h, w, interpret):
         scratch_shapes=[pltpu.VMEM((C, TILE_H, 1), jnp.float32),
                         pltpu.VMEM((gx, C, 1, TILE_W), jnp.float32)],
         interpret=interpret,
-    )(packed, packed, packed)
+    )(packed, rh, dh)
 
 
 def _aa_fwd_impl(color, idbuf, payload, interpret):
@@ -365,6 +382,8 @@ def _aa_vjp_bwd(interpret, res, g):
 
     gspec = pl.BlockSpec((C, TILE_H, TILE_W), lambda i, j: (0, i, j))
     D = 6 + C
+    rh, dh = _halos(packed)
+    grh, gdh = _halos(gout)
     gcol, gverts = pl.pallas_call(
         functools.partial(_bwd_kernel, C, gx, h, w),
         grid=(gy, gx),
@@ -376,7 +395,7 @@ def _aa_vjp_bwd(interpret, res, g):
         scratch_shapes=[pltpu.VMEM((D, TILE_H, 1), jnp.float32),
                         pltpu.VMEM((gx, D, 1, TILE_W), jnp.float32)],
         interpret=interpret,
-    )(packed, packed, packed, gout, gout, gout)
+    )(packed, rh, dh, gout, grh, gdh)
 
     gcolor = jnp.moveaxis(gcol[:, :h, :w], 0, -1)
     gpayload = jnp.zeros((n_payload, h, w), jnp.float32)
@@ -439,6 +458,8 @@ def _aa_planes_vjp_bwd(h, w, interpret, res, g):
 
     gspec = pl.BlockSpec((C, TILE_H, TILE_W), lambda i, j: (0, i, j))
     D = 6 + C
+    rh, dh = _halos(packed)
+    grh, gdh = _halos(gout)
     gcol, gverts = pl.pallas_call(
         functools.partial(_bwd_kernel, C, gx, h, w),
         grid=(gy, gx),
@@ -450,7 +471,7 @@ def _aa_planes_vjp_bwd(h, w, interpret, res, g):
         scratch_shapes=[pltpu.VMEM((D, TILE_H, 1), jnp.float32),
                         pltpu.VMEM((gx, D, 1, TILE_W), jnp.float32)],
         interpret=interpret,
-    )(packed, packed, packed, gout, gout, gout)
+    )(packed, rh, dh, gout, grh, gdh)
 
     gcolour = tuple(gcol[c, :ph, :pw] for c in range(C))
     gpayload = jnp.zeros((n_payload, ph, pw), jnp.float32)

@@ -58,7 +58,7 @@ CHUNK = 128               # triangles DMA'd per bin chunk
 # dozen records, so the phase-A waste is ~SUB/2 padded records per bin
 # end; smaller SUB trades padding waste for more predication branches.
 # Env override FPC_SUB for A/B tuning (must divide CHUNK, multiple of 8).
-SUB = int(os.environ.get("FPC_SUB", "32"))
+SUB = int(os.environ.get("FPC_SUB", "16"))
 MAX_GLOBAL = 1024         # cap for oversized-triangle global list
 REC = 32                  # floats per combined triangle record
 # payload plane order emitted by the fused kernel (after the id plane)
@@ -560,17 +560,8 @@ def _sched_dma(sched_col_ref, sorted_hbm, chunk_vmem, dma_sem, k):
         chunk_vmem.at[slot], dma_sem.at[slot])
 
 
-def _fused_kernel(gx: int, gy: int, mt: int, gbase: int,
-                  # scalar prefetch
-                  bin_start_ref, n_global_ref, gblk_ty_ref,
-                  sched_start_ref, sched_col_ref,
-                  # inputs
-                  sorted_hbm, global_hbm,
-                  # outputs
-                  id_out_ref, entry_out_ref, payload_out_ref, extra_out_ref,
-                  # scratch
-                  chunk_vmem, global_vmem, acc, fvm, bbuf_vmem,
-                  dma_sem, bsem, global_sem):
+def _fused_kernel(gx: int, gy: int, mt: int, gbase: int, n_chan: int,
+                  tex_geom, *refs):
     """Two-phase fused rasterization.
 
     Phase A streams the tile's bin and resolves only (depth, winning
@@ -588,16 +579,45 @@ def _fused_kernel(gx: int, gy: int, mt: int, gbase: int,
     starts entry k + 2 into a 4-slot rotation — entries k+1 and k+2 are
     always in flight while k is consumed, and a <=2-chunk bin's slots
     survive untouched through phase B (the cached path).
+
+    With ``n_chan`` > 0 the kernel ALSO bilinear-samples an entire
+    VMEM-resident texture at the resolved (tu, tv) — the texture stage
+    fused into phase B's dense pass (wrap boundary; same hat-matmul math
+    as texture_tpu, patch origins derived in-kernel from the tile's
+    coordinate extrema). Extra refs: bg scalar-prefetch, tex HBM input,
+    n_chan colour outputs, resident-texture scratch + its DMA semaphore.
     """
+    if n_chan:
+        (bin_start_ref, n_global_ref, gblk_ty_ref, sched_start_ref,
+         sched_col_ref, bg_ref, sorted_hbm, global_hbm, tex_hbm,
+         id_out_ref, entry_out_ref, payload_out_ref, extra_out_ref,
+         *rest) = refs
+        colour_refs = rest[:n_chan]
+        (chunk_vmem, global_vmem, acc, fvm, bbuf_vmem, tex_vmem,
+         dma_sem, bsem, global_sem, tex_sem) = rest[n_chan:]
+    else:
+        (bin_start_ref, n_global_ref, gblk_ty_ref, sched_start_ref,
+         sched_col_ref, sorted_hbm, global_hbm,
+         id_out_ref, entry_out_ref, payload_out_ref, extra_out_ref,
+         chunk_vmem, global_vmem, acc, fvm, bbuf_vmem,
+         dma_sem, bsem, global_sem) = refs
+        colour_refs = ()
+        bg_ref = tex_vmem = tex_sem = tex_hbm = None
+
     ti = pl.program_id(0)
     pj = pl.program_id(1)
     n_global = n_global_ref[0]
     n_sched = sched_start_ref[gx * gy]
 
-    # First program: load the (small) global-triangle list into persistent
-    # VMEM and bootstrap the chunk prefetch pipeline.
+    # First program: load the (small) global-triangle list — and, in the
+    # fused-texture mode, the whole texture — into persistent VMEM and
+    # bootstrap the chunk prefetch pipeline.
     @pl.when((ti == 0) & (pj == 0))
     def _():
+        if n_chan:
+            tdma = pltpu.make_async_copy(tex_hbm, tex_vmem, tex_sem)
+            tdma.start()
+
         @pl.when(n_global > 0)
         def _():
             dma = pltpu.make_async_copy(global_hbm, global_vmem, global_sem)
@@ -613,6 +633,9 @@ def _fused_kernel(gx: int, gy: int, mt: int, gbase: int,
         def _():
             _sched_dma(sched_col_ref, sorted_hbm, chunk_vmem, dma_sem,
                        1).start()
+
+        if n_chan:
+            tdma.wait()
 
     # does any global (oversized) triangle block touch this tile row?
     any_glob = n_global < 0  # False, as a traced bool
@@ -642,6 +665,9 @@ def _fused_kernel(gx: int, gy: int, mt: int, gbase: int,
             for i in range(N_EXTRA):
                 extra_out_ref[i, :, cols] = jnp.zeros((TILE_H, TILE_W),
                                                       jnp.float32)
+            for c in range(n_chan):
+                colour_refs[c][:, cols] = jnp.full((TILE_H, TILE_W),
+                                                   bg_ref[c])
 
         @pl.when(work)
         def _do_tile(cols=cols, tj=tj, start=start, end=end, count=count,
@@ -651,14 +677,17 @@ def _fused_kernel(gx: int, gy: int, mt: int, gbase: int,
                              n_sched, sorted_hbm,
                              id_out_ref, entry_out_ref, payload_out_ref,
                              extra_out_ref, chunk_vmem, global_vmem, acc,
-                             fvm, bbuf_vmem, dma_sem, bsem)
+                             fvm, bbuf_vmem, dma_sem, bsem,
+                             n_chan, tex_geom, tex_vmem, colour_refs)
 
 
 def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
                      gblk_ty_ref, sched_col_ref, s0, n_sched, sorted_hbm,
                      id_out_ref, entry_out_ref, payload_out_ref,
                      extra_out_ref, chunk_vmem, global_vmem, acc, fvm,
-                     bbuf_vmem, dma_sem, bsem):
+                     bbuf_vmem, dma_sem, bsem,
+                     n_chan=0, tex_geom=None, tex_vmem=None,
+                     colour_refs=()):
     """Both kernel phases + payload resolve for one non-empty tile
     (``cols`` = this sub-tile's lane slice of the program's block)."""
     # x along lanes (shared by all tile rows).
@@ -838,6 +867,66 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
     id_out_ref[:, cols] = jnp.where(hit, tidp, -1.0).astype(jnp.int32)
     entry_out_ref[:, cols] = jnp.where(hit, acci, -1.0)
 
+    if n_chan:
+        _sample_tile(n_chan, tex_geom, tex_vmem, colour_refs, cols,
+                     pay_rows[3], pay_rows[4])
+
+
+def _sample_tile(n_chan, tex_geom, tex_vmem, colour_refs, cols,
+                 tu_rows, tv_rows):
+    """Fused-texture tail of the tile pass: bilinear wrap sampling of the
+    resident texture at the tile's resolved uv — the same hat-matmul math
+    as texture_tpu._fwd_kernel, with the patch/sub-patch origins derived
+    in-kernel from the tile's coordinate extrema (the per-tile c0 and
+    per-row t0r the separate path precomputes XLA-side). Background/miss
+    pixels carry uv (0, 0) and sample the same value the separate path's
+    background write produces (wrap sample at texel -0.5)."""
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+        PATCH_W, PRECISION, SUB_H, _wrow)
+
+    th, tw, he, we = tex_geom
+    tu_t = jnp.concatenate(tu_rows, axis=0)               # (8, 128)
+    tv_t = jnp.concatenate(tv_rows, axis=0)
+    s = tu_t * tw - 0.5
+    t = tv_t * th - 0.5
+    s = s - jnp.floor(s / tw) * tw                        # mod(s, tw)
+    t = t - jnp.floor(t / th) * th
+
+    def remap(c, size):
+        # wrap-seam fix (texture_tpu._seam_remap on one tile)
+        mn = jnp.min(c)
+        mx = jnp.max(c)
+        shifted = jnp.where(c < 0.5 * size, c + size, c)
+        mns = jnp.min(shifted)
+        mxs = jnp.max(shifted)
+        return jnp.where((mxs - mns) < (mx - mn), shifted, c)
+
+    s = remap(s, tw)
+    t = remap(t, th)
+    t = jnp.clip(t, 0.0, he - 1.001)
+
+    c0 = jnp.clip(((jnp.floor(jnp.min(s)).astype(jnp.int32) - 1)
+                   // TILE_W) * TILE_W, 0, we - PATCH_W)
+    ls = jnp.clip(s - c0.astype(jnp.float32), 0.0, PATCH_W - 1.001)
+    c0 = pl.multiple_of(c0, TILE_W)
+
+    col_rows = [[] for _ in range(n_chan)]
+    for g in range(TILE_H):
+        t_row = t[g:g + 1, :]
+        t0r = jnp.clip((jnp.floor(jnp.min(t_row)).astype(jnp.int32)
+                        // TILE_H) * TILE_H, 0, he - SUB_H)
+        ltr = jnp.clip(t_row - t0r.astype(jnp.float32), 0.0, SUB_H - 1.001)
+        t0r = pl.multiple_of(t0r, TILE_H)
+        wx = _wrow(ls[g:g + 1, :], PATCH_W)               # (PW, 128)
+        wy = _wrow(ltr, SUB_H)                            # (SUB_H, 128)
+        for c in range(n_chan):
+            subp = tex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
+            b = jnp.dot(subp, wx, preferred_element_type=jnp.float32,
+                        precision=PRECISION)              # (SUB_H, 128)
+            col_rows[c].append(jnp.sum(wy * b, axis=0, keepdims=True))
+    for c in range(n_chan):
+        colour_refs[c][:, cols] = jnp.concatenate(col_rows[c], axis=0)
+
 
 # ----------------------------------------------------------------------------
 # Public entry
@@ -864,7 +953,7 @@ def bin_scene(pos_clip: Array, faces: Array, height: int, width: int,
 
 def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
                               interpret: bool = False,
-                              padded: bool = False):
+                              padded: bool = False, tex: Array | None = None):
     """(idbuf (H, W) i32, payload (N_PAYLOAD, H, W) f32, entry (H, W) f32,
     extra (N_EXTRA, H, W) f32) from precomputed bins — one kernel pass, no
     per-pixel gathers. Payload planes: [u, v, z, tu, tv, x0, y0, x1, y1,
@@ -873,7 +962,11 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
     feed the elementwise antialias). ``entry`` is the winner's bin-entry
     index (global-list entries offset by P; -1 = background) and ``extra``
     holds [D, iw0, iw1, iw2, du02, du12, dv02, dv12] — both consumed by
-    the Pallas gradient kernel, which then needs no record streaming."""
+    the Pallas gradient kernel, which then needs no record streaming.
+
+    :param tex: optional (TH, TW, C) texture — fuses bilinear wrap
+        sampling into the pass (a 5th return value: C colour planes,
+        padded layout). Must satisfy texture_tpu.fits_resident."""
     ph, pw = pad_resolution(height, width)
     gy, gx = ph // TILE_H, pw // TILE_W
     n_tiles = gy * gx
@@ -883,15 +976,43 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
     gbase = int(bins.sorted_rec_t.shape[1])
     sched_start, sched_col = chunk_schedule(bins.bin_start, gbase, n_tiles)
 
+    n_chan = 0
+    tex_geom = None
+    tex_args = ()
+    prefetch = [bins.bin_start, bins.n_global, bins.gblk_ty, sched_start,
+                sched_col]
+    tex_in_specs = []
+    tex_out_specs = []
+    tex_out_shapes = []
+    tex_scratch = []
+    compiler_params = None
+    if tex is not None:
+        from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+            VMEM_LIMIT, _background_sample, _extend_texture, extended_shape)
+
+        tex3 = tex[..., None] if tex.ndim == 2 else tex
+        th, tw, n_chan = tex3.shape
+        he, we = extended_shape(th, tw, "wrap")
+        tex_geom = (th, tw, he, we)
+        prefetch.append(_background_sample(tex3, "wrap"))
+        tex_args = (_extend_texture(tex3, "wrap"),)
+        tex_in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+        tex_out_specs = [pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j))
+                         for _ in range(n_chan)]
+        tex_out_shapes = [jax.ShapeDtypeStruct((ph, pw), jnp.float32)
+                          for _ in range(n_chan)]
+        tex_scratch = [pltpu.VMEM((n_chan, he, we), jnp.float32)]
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=len(prefetch),
         grid=(gy, pgx),
         in_specs=[
             # Force HBM: bins are streamed via manual DMA, and VMEM
             # placement would impose (8, 128) tiling on the narrow rows.
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        ] + tex_in_specs,
         out_specs=[
             pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j)),
             pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j)),
@@ -899,36 +1020,49 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
                          lambda i, j, *_: (0, i, j)),
             pl.BlockSpec((N_EXTRA, TILE_H, bw),
                          lambda i, j, *_: (0, i, j)),
-        ],
+        ] + tex_out_specs,
         scratch_shapes=[
             pltpu.VMEM((4, REC, CHUNK), jnp.float32),   # prefetch rotation
             pltpu.VMEM((REC, MAX_GLOBAL), jnp.float32),  # persistent
             pltpu.VMEM((2, TILE_H, TILE_W), jnp.float32),  # z + entry idx
             pltpu.VMEM((TILE_H, REC, TILE_W), jnp.float32),  # gathered
             pltpu.VMEM((2, REC, CHUNK), jnp.float32),   # phase-B re-stream
+        ] + tex_scratch + [
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
-        ],
+        ] + ([pltpu.SemaphoreType.DMA] if tex is not None else []),
     )
 
-    idbuf, entry, payload, extra = pl.pallas_call(
-        functools.partial(_fused_kernel, gx, gy, mt, gbase),
+    kwargs = {}
+    if compiler_params is not None:
+        kwargs["compiler_params"] = compiler_params
+    outs = pl.pallas_call(
+        functools.partial(_fused_kernel, gx, gy, mt, gbase, n_chan,
+                          tex_geom),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
             jax.ShapeDtypeStruct((ph, pw), jnp.float32),
             jax.ShapeDtypeStruct((N_PAYLOAD, ph, pw), jnp.float32),
             jax.ShapeDtypeStruct((N_EXTRA, ph, pw), jnp.float32),
-        ],
+        ] + tex_out_shapes,
         interpret=interpret,
-    )(bins.bin_start, bins.n_global, bins.gblk_ty, sched_start, sched_col,
-      bins.sorted_rec_t, bins.global_rec_t)
+        **kwargs,
+    )(*prefetch, bins.sorted_rec_t, bins.global_rec_t, *tex_args)
+    idbuf, entry, payload, extra = outs[:4]
+    colour = tuple(outs[4:])
 
     if padded:
         # Padded planes avoid a slice -> re-pad HBM roundtrip when the
         # consumer is the gradient kernel (which wants (ph, pw) anyway).
+        if tex is not None:
+            return idbuf, payload, entry, extra, colour
         return idbuf, payload, entry, extra
+    if tex is not None:
+        return (idbuf[:height, :width], payload[:, :height, :width],
+                entry[:height, :width], extra[:, :height, :width],
+                tuple(c[:height, :width] for c in colour))
     return (idbuf[:height, :width], payload[:, :height, :width],
             entry[:height, :width], extra[:, :height, :width])
 

@@ -634,6 +634,13 @@ def _texture_planes_vjp_fwd(tex, tu, tv, h, w, boundary_mode, interpret):
 
 def _texture_planes_vjp_bwd(h, w, boundary_mode, interpret, res, g):
     tex, tu, tv = res
+    return texture_planes_bwd_impl(tex, tu, tv, h, w, boundary_mode,
+                                   interpret, g)
+
+
+def texture_planes_bwd_impl(tex, tu, tv, h, w, boundary_mode, interpret, g):
+    """(gtex, gtu, gtv) from C padded cotangent planes ``g`` — the planes
+    backward, reusable by the fused rasterize+texture custom VJP."""
     squeeze = tex.ndim == 2
     tex3 = tex[..., None] if squeeze else tex
     (tex_planes, ls, lt, t0r, c0, _live, s_in, t_in,

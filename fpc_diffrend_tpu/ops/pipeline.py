@@ -137,19 +137,30 @@ def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
             # composite all stay in that layout, and the image is sliced
             # to (H, W) exactly once at the end — no per-stage pad/slice
             # HBM roundtrips in either direction of the autodiff graph.
+            import os
+
             from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
                 antialias_planes_pallas)
-            from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
-                texture_planes_pallas)
             from fpc_diffrend_tpu.ops.rasterize import (
-                _rasterize_pallas_padded)
+                _rasterize_pallas_padded, _rasterize_pallas_textured)
 
             height, width = resolution
-            idbuf_p, payload_p = _rasterize_pallas_padded(
-                pos_clip, pos_idx, uv, uv_idx, face_neighbors, resolution,
-                pair_cap)
-            colour_planes = texture_planes_pallas(
-                tex, payload_p[3], payload_p[4], height, width, "wrap")
+            if os.environ.get("FPC_FUSE_TEX", "1") != "0":
+                # texture sampling fused into the raster kernel's dense
+                # phase-B pass (one kernel, no texc roundtrip)
+                idbuf_p, payload_p, colour_planes = \
+                    _rasterize_pallas_textured(
+                        pos_clip, pos_idx, uv, uv_idx, tex, face_neighbors,
+                        resolution, pair_cap)
+            else:
+                from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+                    texture_planes_pallas)
+
+                idbuf_p, payload_p = _rasterize_pallas_padded(
+                    pos_clip, pos_idx, uv, uv_idx, face_neighbors,
+                    resolution, pair_cap)
+                colour_planes = texture_planes_pallas(
+                    tex, payload_p[3], payload_p[4], height, width, "wrap")
             aa_p = antialias_planes_pallas(colour_planes, idbuf_p,
                                            payload_p, height, width)
             img_p = jnp.where(idbuf_p >= 0, aa_p, background)

@@ -360,6 +360,82 @@ def _rasterize_fused_bwd(height, width, interpret, pair_cap, padded, res,
 rasterize_fused.defvjp(_rasterize_fused_fwd, _rasterize_fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def rasterize_texture_fused(data, aux, tex, bins, height: int, width: int,
+                            interpret: bool, pair_cap: int | None = None):
+    """Fused rasterize + interpolate + bilinear wrap texture in ONE Pallas
+    pass (padded plane-major outputs): (idbuf_p, payload_p, colour_planes).
+
+    The forward samples the VMEM-resident texture at the resolved (tu, tv)
+    inside the raster kernel's dense phase-B pass — no separate texture
+    kernel dispatch, no XLA-side patch-origin prep, no texc HBM roundtrip.
+    The backward composes the texture planes backward (colour cotangents
+    -> gtex + uv-plane cotangents) with the Pallas gradient kernel."""
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        fused_rasterize_from_bins)
+
+    idbuf, payload, _entry, _extra, colour = fused_rasterize_from_bins(
+        bins, height, width, interpret, padded=True, tex=tex)
+    return idbuf, payload, colour
+
+
+def _rasterize_texture_fused_fwd(data, aux, tex, bins, height, width,
+                                 interpret, pair_cap=None):
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        fused_rasterize_from_bins)
+
+    idbuf, payload, entry, extra, colour = fused_rasterize_from_bins(
+        bins, height, width, interpret, padded=True, tex=tex)
+    res = (entry, payload[0], payload[1], extra, bins, data.shape[0],
+           tex, payload[3], payload[4])
+    return (idbuf, payload, colour), res
+
+
+def _rasterize_texture_fused_bwd(height, width, interpret, pair_cap, res,
+                                 cts):
+    from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+        texture_planes_bwd_impl)
+
+    entry, u, v, extra, bins, n_tris, tex, tu, tv = res
+    _gid, gpayload, gcolour = cts
+    gtex, gtu, gtv = texture_planes_bwd_impl(
+        tex, tu, tv, height, width, "wrap", interpret, tuple(gcolour))
+    gpayload = gpayload.at[3].add(gtu).at[4].add(gtv)
+    grad_data, grad_aux = pixel_grad_pallas(
+        bins, entry, u, v, extra, gpayload, n_tris, height, width,
+        pair_cap=pair_cap, interpret=interpret)
+    return (grad_data, grad_aux, gtex, jax.tree.map(_zero_ct, bins))
+
+
+rasterize_texture_fused.defvjp(_rasterize_texture_fused_fwd,
+                               _rasterize_texture_fused_bwd)
+
+
+def _rasterize_pallas_textured(pos_clip: Array, faces: Array, uv, uv_idx,
+                               tex, face_neighbors, resolution,
+                               pair_cap: int | None = None,
+                               interpret: bool = False):
+    """Binning + the fully fused rasterize+texture pass (padded layout).
+
+    :return: (idbuf_p (ph, pw) i32, payload_p (N_PAYLOAD, ph, pw),
+              colour_planes tuple of C (ph, pw))
+    """
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        aux_records, bin_scene)
+
+    height, width = resolution
+    faces = faces.astype(jnp.int32)
+    aux = aux_records(uv, uv_idx.astype(jnp.int32), pos_clip, faces,
+                      face_neighbors, height, width)
+    data, bins = bin_scene(pos_clip, faces, height, width,
+                           aux=jax.lax.stop_gradient(aux),
+                           entry_cap=pair_cap)
+    bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
+    return rasterize_texture_fused(data, aux, tex, bins_sg, height, width,
+                                   interpret, pair_cap)
+
+
 def _rasterize_pallas_padded(pos_clip: Array, faces: Array, uv, uv_idx,
                              face_neighbors, resolution,
                              pair_cap: int | None = None,
