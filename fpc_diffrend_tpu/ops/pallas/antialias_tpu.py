@@ -183,8 +183,8 @@ def _fwd_kernel(C: int, gx: int, height: int, width: int,
     acc = [cur[_C0 + c] for c in range(C)]
 
     # horizontal pairs (p, p+1)
-    a, b, pax, pay, pbx, pby = _pass_args(cur, [right_ref[k] for k in
-                                                range(P)], "right", ti, tj, C)
+    a, b, pax, pay, pbx, pby = _pass_args(cur, _nbr_col(right_ref, P, tj),
+                                          "right", ti, tj, C)
     da, db = _pair_delta(a, b, pax, pay, pbx, pby, C)
     m = masks["right"]
     for c in range(C):
@@ -195,8 +195,8 @@ def _fwd_kernel(C: int, gx: int, height: int, width: int,
         hcarry[c] = dbm[:, -1:]
 
     # vertical pairs (p, p below)
-    a, b, pax, pay, pbx, pby = _pass_args(cur, [down_ref[k] for k in
-                                                range(P)], "down", ti, tj, C)
+    a, b, pax, pay, pbx, pby = _pass_args(cur, _nbr_row(down_ref, P, ti),
+                                          "down", ti, tj, C)
     da, db = _pair_delta(a, b, pax, pay, pbx, pby, C)
     m = masks["down"]
     for c in range(C):
@@ -227,19 +227,23 @@ def _bwd_kernel(C: int, gx: int, height: int, width: int,
     gcol = [gout_cur_ref[c] for c in range(C)]     # identity term
     gv = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(6)]
 
-    for direction, nref, gref in (("right", right_ref, gout_right_ref),
-                                  ("down", down_ref, gout_down_ref)):
-        nbr = [nref[k] for k in range(P)]
+    for direction in ("right", "down"):
+        if direction == "right":
+            nbr = _nbr_col(right_ref, P, tj)
+            ghalo = _nbr_col(gout_right_ref, C, tj)
+        else:
+            nbr = _nbr_row(down_ref, P, ti)
+            ghalo = _nbr_row(gout_down_ref, C, ti)
         a, b, pax, pay, pbx, pby = _pass_args(cur, nbr, direction, ti, tj, C)
         m = masks[direction]
 
         # pair cotangents: gout at both sides, masked by pair validity
         g_a = [jnp.where(m, gout_cur_ref[c], 0.0) for c in range(C)]
         if direction == "right":
-            g_b = [jnp.where(m, _shift_left(gout_cur_ref[c], gref[c]), 0.0)
+            g_b = [jnp.where(m, _shift_left(gout_cur_ref[c], ghalo[c]), 0.0)
                    for c in range(C)]
         else:
-            g_b = [jnp.where(m, _shift_up(gout_cur_ref[c], gref[c]), 0.0)
+            g_b = [jnp.where(m, _shift_up(gout_cur_ref[c], ghalo[c]), 0.0)
                    for c in range(C)]
 
         def pair_fn(a_diff, b_diff):
@@ -302,31 +306,96 @@ def _pack(color: Array, idbuf: Array, payload: Array, ph: int, pw: int):
     return jnp.stack(planes)
 
 
+# lane/sublane pads for the halo arrays (Mosaic block shapes must have
+# last-two dims divisible by (8, 128) or equal to the array dims)
+_HALO_GX = 128
+_HALO_GY = 8
+
+
+def _use_halo() -> bool:
+    """FPC_AA_HALO=1 selects thin-halo neighbor inputs (cuts the packed
+    planes' HBM reads 3x) instead of full neighbor blocks. Experimental:
+    legal-on-hardware block shapes, but not yet validated on the real
+    chip (the attach was down); default stays on the proven full-block
+    path."""
+    import os
+
+    return os.environ.get("FPC_AA_HALO", "0") == "1"
+
+
 def _specs(P, gy, gx):
-    """cur block + thin right/down halo blocks.
+    """cur block + right/down neighbor inputs.
 
     The kernel reads only the right neighbor's FIRST COLUMN and the down
     neighbor's FIRST ROW (the b-side of edge pairs, consumed via
-    _shift_left/_shift_up slicing) — fetching full neighbor blocks would
-    re-read every packed plane 3x from HBM. The halos are precomputed
-    strided slices (_halos): right (P, ph, gx) column-per-block, down
-    (P, gy, pw) row-per-block."""
+    _shift_left/_shift_up slicing). Default: full edge-clamped neighbor
+    blocks (3x packed-plane HBM reads). FPC_AA_HALO=1: precomputed thin
+    halo strided slices (_halos); because Mosaic forbids size-1 trailing
+    block dims, the right halo carries all (padded) tile columns for the
+    row band and the down halo an 8-row band, with the kernel extracting
+    its own column/row by one-hot reduction (_halo_col/_halo_row)."""
     cur = pl.BlockSpec((P, TILE_H, TILE_W), lambda i, j: (0, i, j))
-    right = pl.BlockSpec((P, TILE_H, 1), lambda i, j: (0, i, j))
-    down = pl.BlockSpec((P, 1, TILE_W), lambda i, j: (0, i, j))
+    if _use_halo():
+        right = pl.BlockSpec((P, TILE_H, _HALO_GX), lambda i, j: (0, i, 0))
+        down = pl.BlockSpec((P, _HALO_GY, TILE_W),
+                            lambda i, j: (0, i // _HALO_GY, j))
+    else:
+        right = pl.BlockSpec((P, TILE_H, TILE_W),
+                             lambda i, j: (0, i, jnp.minimum(j + 1, gx - 1)))
+        down = pl.BlockSpec((P, TILE_H, TILE_W),
+                            lambda i, j: (0, jnp.minimum(i + 1, gy - 1), j))
     return [cur, right, down]
 
 
 def _halos(packed):
-    """(right_halo, down_halo) strided-slice views of the packed planes:
+    """(right_halo, down_halo) strided-slice arrays of the packed planes:
     right_halo[:, :, j] = first column of block column j+1 (edge blocks
     duplicate the last column — their pairs are masked in the kernel);
-    down_halo[:, i, :] = first row of block row i+1."""
+    down_halo[:, i, :] = first row of block row i+1. Trailing dims padded
+    to Mosaic-legal tile sizes. Full-block mode: pass-through."""
+    if not _use_halo():
+        return packed, packed
+    gx = packed.shape[2] // TILE_W
+    gy = packed.shape[1] // TILE_H
     s = packed[:, :, ::TILE_W]
     rh = jnp.concatenate([s[:, :, 1:], s[:, :, -1:]], axis=2)
+    rh = jnp.pad(rh, ((0, 0), (0, 0), (0, _HALO_GX - gx)))
     d = packed[:, ::TILE_H, :]
     dh = jnp.concatenate([d[:, 1:, :], d[:, -1:, :]], axis=1)
+    gyp = (gy + _HALO_GY - 1) // _HALO_GY * _HALO_GY
+    dh = jnp.pad(dh, ((0, 0), (0, gyp - gy), (0, 0)))
     return rh, dh
+
+
+def _nbr_col(ref, P, tj):
+    """Right-neighbor b-side planes: thin-halo extraction or the full
+    block (its first column is sliced inside _shift_left)."""
+    if _use_halo():
+        return _halo_col(ref, P, tj)
+    return [ref[k] for k in range(P)]
+
+
+def _nbr_row(ref, P, ti):
+    if _use_halo():
+        return _halo_row(ref, P, ti)
+    return [ref[k] for k in range(P)]
+
+
+def _halo_col(ref, P, tj):
+    """Extract lane ``tj`` of each (TILE_H, _HALO_GX) right-halo plane as
+    (TILE_H, 1) via one-hot reduction (dynamic lane slices are illegal)."""
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (1, _HALO_GX), 1)
+          == tj).astype(jnp.float32)
+    return [jnp.sum(ref[k] * oh, axis=1, keepdims=True) for k in range(P)]
+
+
+def _halo_row(ref, P, ti):
+    """Extract sublane ``ti % _HALO_GY`` of each (_HALO_GY, TILE_W)
+    down-halo plane as (1, TILE_W) via one-hot reduction."""
+    r = jax.lax.rem(ti, _HALO_GY)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (_HALO_GY, 1), 0)
+          == r).astype(jnp.float32)
+    return [jnp.sum(ref[k] * oh, axis=0, keepdims=True) for k in range(P)]
 
 
 def _aa_fwd_from_packed(packed, C, h, w, interpret):
