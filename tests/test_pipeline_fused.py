@@ -109,3 +109,36 @@ def test_render_multichannel_texture_scan():
     assert np.isfinite(img).all()
     # interior pixels carry the three distinct channels
     assert np.abs(img[24, 24] - img[24, 24].mean()).max() > 1e-4
+
+
+def test_fused_texture_matches_separate_kernels(rng, monkeypatch):
+    """FPC_FUSE_TEX=1 (texture sampled inside the raster kernel) must
+    match FPC_FUSE_TEX=0 (separate planes texture kernel) exactly in
+    value and in all gradients — same math, same origins."""
+    mvp, verts, faces, uv, uv_idx, neigh = scene(rng)
+    tex = jnp.asarray(rng.uniform(size=(64, 128, 1)).astype(np.float32))
+    res = (48, 128)
+    ref = jnp.asarray(rng.uniform(size=res + (1,)).astype(np.float32))
+
+    def loss(v, t):
+        img = render(mvp, v, faces, uv, uv_idx, t, res, neigh,
+                     impl="pallas")
+        return jnp.mean((ref - img) ** 2), img
+
+    with pallas_interpret_mode():
+        monkeypatch.setenv("FPC_FUSE_TEX", "0")
+        (l0, img0), (gv0, gt0) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(verts, tex)
+        jax.clear_caches()
+        monkeypatch.setenv("FPC_FUSE_TEX", "1")
+        (l1, img1), (gv1, gt1) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(verts, tex)
+        jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt0),
+                               atol=1e-7, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
+                               atol=1e-6, rtol=1e-5)
