@@ -314,10 +314,13 @@ _HALO_GY = 8
 
 def _use_halo() -> bool:
     """FPC_AA_HALO=1 selects thin-halo neighbor inputs (cuts the packed
-    planes' HBM reads 3x) instead of full neighbor blocks. Experimental:
-    legal-on-hardware block shapes, but not yet validated on the real
-    chip (the attach was down); default stays on the proven full-block
-    path."""
+    planes' HBM reads 3x) instead of full neighbor blocks.
+
+    WARNING: interpret-mode correct, but on the real v5e remote attach the
+    halo variant's compile/execute stalled and wedged the single-chip
+    tunnel twice (2026-08-19); its theoretical win is ~3 ms/step. Leave
+    OFF until the Mosaic behavior for the banded halo blocks is
+    understood."""
     import os
 
     return os.environ.get("FPC_AA_HALO", "0") == "1"
