@@ -190,3 +190,45 @@ def test_gather_fold_matches_segment_fold(rng, monkeypatch):
 
     np.testing.assert_allclose(np.asarray(g_gat), np.asarray(g_seg),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_banded_fold_matches_segment_fold(rng, monkeypatch):
+    """FPC_FOLD_IMPL=banded (sliding-window Pallas fold) must produce the
+    same per-triangle gradients as the segment-sum fold."""
+    pos, faces = random_scene(rng, n_tris=25)
+    res = (64, 64)
+
+    g_seg = jax.grad(lambda p: loss_fn(p, faces, res, "pallas", True))(pos)
+    jax.clear_caches()
+    monkeypatch.setenv("FPC_FOLD_IMPL", "banded")
+    g_band = jax.grad(lambda p: loss_fn(p, faces, res, "pallas", True))(pos)
+    jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(g_band), np.asarray(g_seg),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_banded_fold_unit(rng, monkeypatch):
+    """Direct banded_fold vs segment_sum on synthetic banded ids,
+    including dead entries, band drift and a multi-window sweep."""
+    from fpc_diffrend_tpu.ops.pallas import raster_grad_tpu as rg
+
+    T, P = 700, 1024
+    n_live = 900
+    # band-limited ids: ascending bands with local oscillation
+    base = np.linspace(0, T - 60, P).astype(np.int32)
+    ids = np.clip(base + rng.integers(0, 50, size=P), 0, T - 1)
+    ids = np.sort(ids)[::1].astype(np.int32)
+    grads = rng.normal(size=(rg.REC, P)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    out, ovf = rg.banded_fold(jnp.asarray(grads), jnp.asarray(ids),
+                              jnp.int32(n_live), P, T, interpret=True)
+    assert int(ovf) == 0
+
+    live = np.arange(P) < n_live
+    expect = np.zeros((T, rg.REC), np.float32)
+    np.add.at(expect, ids[live], grads.T[live])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5,
+                               atol=1e-5)
