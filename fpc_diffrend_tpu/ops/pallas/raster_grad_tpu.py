@@ -310,10 +310,9 @@ def _grad_coeff_planes(ti, tj, u, v, extra, gpl, cr_vmem):
 # and the caller falls back to segment_sum when the scene isn't banded.
 
 FOLD_WINDOW = 2048         # sliding accumulator columns (triangle ids)
-FOLD_SLICE = 1024          # one-hot accumulation slice within the window
 
 
-def _fold_kernel(n_chunks: int, w0_ref, off_ref,
+def _fold_kernel(n_chunks: int, tp: int, w0_ref,
                  grad_ref, tri_ref, out_hbm, ovf_ref,
                  win_vmem, ret_sem):
     c = pl.program_id(0)
@@ -343,7 +342,12 @@ def _fold_kernel(n_chunks: int, w0_ref, off_ref,
 
     @pl.when(shift > 0)
     def _():
-        # retire [prev, w0): final by the suffix-min construction
+        # retire [prev, prev + min(shift, WINDOW)): final by the
+        # suffix-min construction; if the origin jumped past a whole
+        # window (sparse/jumpy id bands), the uncovered gap columns are
+        # zero by construction (no live entry maps there) — flush zeros
+        retire = jnp.minimum(shift, FOLD_WINDOW)
+
         def rbody(k, _):
             col = pl.multiple_of(k * 128, 128)
             cp = pltpu.make_async_copy(
@@ -354,7 +358,25 @@ def _fold_kernel(n_chunks: int, w0_ref, off_ref,
             cp.wait()
             return 0
 
-        jax.lax.fori_loop(0, shift // 128, rbody, 0)
+        jax.lax.fori_loop(0, retire // 128, rbody, 0)
+
+        @pl.when(shift > FOLD_WINDOW)
+        def _():
+            # gap [prev + WINDOW, w0): zero-flush (window content is all
+            # retired; reuse a freshly zeroed block as the source)
+            win_vmem[:, 0:128] = jnp.zeros((REC, 128), jnp.float32)
+
+            def gbody(k, _):
+                cp = pltpu.make_async_copy(
+                    win_vmem.at[:, pl.ds(0, 128)],
+                    out_hbm.at[:, pl.ds(pl.multiple_of(
+                        prev + FOLD_WINDOW + k * 128, 128), 128)],
+                    ret_sem)
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, (shift - FOLD_WINDOW) // 128, gbody, 0)
 
         # slide the window left by `shift` (128-aligned block copies; the
         # source is always right of the destination, so in-order block
@@ -372,14 +394,12 @@ def _fold_kernel(n_chunks: int, w0_ref, off_ref,
                 win_vmem[:, i * 128:(i + 1) * 128] = jnp.zeros(
                     (REC, 128), jnp.float32)
 
-    # accumulate this chunk onto the window slice [off, off + FOLD_SLICE)
-    off = off_ref[c]
+    # accumulate this chunk onto the whole window (one-hot MXU scatter)
     ids = tri_ref[0:1, :]                           # (1, CHUNK) f32
-    rel = ids - (w0 + off).astype(jnp.float32)
-    ovf = jnp.sum(((rel < 0.0) | (rel >= FOLD_SLICE)) & (ids >= 0.0)
-                  ).astype(jnp.int32)
+    rel = ids - w0.astype(jnp.float32)
+    ovf = jnp.sum((rel >= FOLD_WINDOW) & (ids >= 0.0)).astype(jnp.int32)
     ovf_ref[0] = ovf_ref[0] + ovf
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, FOLD_SLICE), 1
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, FOLD_WINDOW), 1
                                      ).astype(jnp.float32)
     oh = (col_i == rel.reshape(CHUNK, 1)).astype(jnp.bfloat16)
     acc = None
@@ -387,11 +407,10 @@ def _fold_kernel(n_chunks: int, w0_ref, off_ref,
         f = jax.lax.dot_general(part, oh, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         acc = f if acc is None else acc + f
-    offa = pl.multiple_of(off, 128)
-    win_vmem[:, pl.ds(offa, FOLD_SLICE)] = (
-        win_vmem[:, pl.ds(offa, FOLD_SLICE)] + acc)
+    win_vmem[:] = win_vmem[:] + acc
 
-    # final flush: the whole remaining window
+    # final flush: the remaining window, then zero-fill every output
+    # column above it (they would otherwise be uninitialized memory)
     @pl.when(c == n_chunks - 1)
     def _():
         def fbody(k, _):
@@ -405,6 +424,20 @@ def _fold_kernel(n_chunks: int, w0_ref, off_ref,
             return 0
 
         jax.lax.fori_loop(0, FOLD_WINDOW // 128, fbody, 0)
+
+        win_vmem[:, 0:128] = jnp.zeros((REC, 128), jnp.float32)
+
+        def tbody(k, _):
+            cp = pltpu.make_async_copy(
+                win_vmem.at[:, pl.ds(0, 128)],
+                out_hbm.at[:, pl.ds(
+                    pl.multiple_of(w0 + FOLD_WINDOW + k * 128, 128), 128)],
+                ret_sem)
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, (tp - FOLD_WINDOW - w0) // 128, tbody, 0)
 
 
 def banded_fold(grad_pairs_t: Array, sorted_tri: Array, n_live,
@@ -430,13 +463,11 @@ def banded_fold(grad_pairs_t: Array, sorted_tri: Array, n_live,
     suf = jax.lax.associative_scan(jnp.minimum, lo, reverse=True)
     tp = (n_tris + 127) // 128 * 128 + FOLD_WINDOW
     w0 = jnp.clip((suf // 128) * 128, 0, tp - FOLD_WINDOW)
-    # monotone by construction; accumulation slice origin inside window
-    off = jnp.clip(((lo - w0) // 128) * 128, 0, FOLD_WINDOW - FOLD_SLICE)
 
     tri_f = jnp.broadcast_to(tri.astype(jnp.float32)[None, :], (8, P))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((REC, CHUNK), lambda c, *_: (0, c)),
@@ -452,12 +483,12 @@ def banded_fold(grad_pairs_t: Array, sorted_tri: Array, n_live,
         ],
     )
     out_t, ovf = pl.pallas_call(
-        functools.partial(_fold_kernel, n_chunks),
+        functools.partial(_fold_kernel, n_chunks, tp),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((REC, tp), jnp.float32),
                    jax.ShapeDtypeStruct((1,), jnp.int32)],
         interpret=interpret,
-    )(w0, off, grad_pairs_t[:, :P], tri_f)
+    )(w0, grad_pairs_t[:, :P], tri_f)
     return out_t.T[:n_tris], ovf[0]
 
 

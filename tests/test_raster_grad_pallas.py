@@ -232,3 +232,29 @@ def test_banded_fold_unit(rng, monkeypatch):
     np.add.at(expect, ids[live], grads.T[live])
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_banded_fold_unit_many_chunks(rng):
+    """Banded fold across many chunks with window slides, band
+    oscillation and a dead tail (the headline workload's structure)."""
+    from fpc_diffrend_tpu.ops.pallas import raster_grad_tpu as rg
+
+    T, P = 5000, 16384
+    n_live = 14000
+    base = np.linspace(0, T - 300, n_live).astype(np.int32)
+    ids_live = np.sort(np.clip(base + rng.integers(0, 280, size=n_live),
+                               0, T - 1)).astype(np.int32)
+    ids = np.concatenate([ids_live,
+                          rng.integers(0, T, size=P - n_live)
+                          .astype(np.int32)])
+    grads = rng.normal(size=(rg.REC, P)).astype(np.float32)
+
+    out, ovf = rg.banded_fold(jnp.asarray(grads), jnp.asarray(ids),
+                              jnp.int32(n_live), P, T, interpret=True)
+    assert int(ovf) == 0
+
+    live = np.arange(P) < n_live
+    expect = np.zeros((T, rg.REC), np.float32)
+    np.add.at(expect, ids[live], grads.T[live])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4,
+                               atol=2e-4)
