@@ -8,6 +8,7 @@ jitted batched fit, and writes the reference-format results directory.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -80,15 +81,40 @@ def measure_raster_health(config: FitConfig, scene, params) -> dict:
                            scene.v_base, jnp.int32(0),
                            config.combined_corrective_coefficient)
     verts3 = vtx.reshape(-1, 3)
-    worst = {"n_valid_pairs": 0, "n_global": 0, "global_overflow": 0}
+    worst = {"n_valid_pairs": 0, "n_global": 0, "global_overflow": 0,
+             "fold_band_excess": -(1 << 30),
+             "fold_band_excess_rev": -(1 << 30)}
+    cap = config.pair_cap if config.pair_cap else None
     for cam in config.cam_idxs:
         mvp = loop_mod.build_mvp(scene, params, jnp.int32(cam),
                                  jnp.int32(0))
         pos_clip = transform_clip(mvp, verts3)
         stats = jax.device_get(raster_stats(pos_clip, scene.faces, h, w))
+        stats["fold_band_excess"] = _band_excess(scene, pos_clip, h, w,
+                                                 cap, False)
+        stats["fold_band_excess_rev"] = _band_excess(scene, pos_clip, h, w,
+                                                     cap, True)
         for k in worst:
             worst[k] = max(worst[k], int(stats[k]))
     return worst
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "cap", "reverse"))
+def _band_excess_jit(faces, face_neighbors, uv, uv_idx, pos_clip, h, w, cap,
+                     reverse):
+    from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import fold_band_excess
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import bin_scene
+
+    _, bins = bin_scene(pos_clip, faces, h, w, entry_cap=cap)
+    return fold_band_excess(bins.sorted_tri, bins.bin_start[-1],
+                            cap if cap else bins.sorted_tri.shape[0],
+                            faces.shape[0], reverse=reverse)
+
+
+def _band_excess(scene, pos_clip, h, w, cap, reverse) -> int:
+    return int(_band_excess_jit(scene.faces, scene.face_neighbors,
+                                scene.uv, scene.uv_idx, pos_clip, h, w,
+                                cap, reverse))
 
 
 def autotune_caps(config: FitConfig, scene, params) -> FitConfig:
@@ -114,6 +140,25 @@ def autotune_caps(config: FitConfig, scene, params) -> FitConfig:
     cap = (cap + 127) // 128 * 128
     print(f"[autotune] pair_cap={cap} (measured {health['n_valid_pairs']} "
           f"bin entries, {health['n_global']} global)", flush=True)
+
+    # Gradient-fold implementation: the banded sliding-window Pallas fold
+    # is ~2x faster end-to-end than segment_sum but exact only when the
+    # scene's triangle-id bands fit the window. Enable it when measured
+    # with a safety margin (pose/expression drift is re-checked by the
+    # periodic in-fit health measurement); an explicit FPC_FOLD_IMPL
+    # always wins.
+    if "FPC_FOLD_IMPL" not in os.environ:
+        fwd = health["fold_band_excess"]
+        rev = health["fold_band_excess_rev"]
+        excess, impl = min((fwd, "banded"), (rev, "banded_rev"))
+        if excess <= -256:
+            os.environ["FPC_FOLD_IMPL"] = impl
+            print(f"[autotune] fold={impl} (band excess fwd {fwd} / "
+                  f"rev {rev})", flush=True)
+        else:
+            print(f"[autotune] fold=segment (band excess fwd {fwd} / "
+                  f"rev {rev}; window too small for this scene's id "
+                  "bands)", flush=True)
     return dataclasses.replace(config, pair_cap=cap)
 
 
@@ -174,6 +219,14 @@ def fit_take(config: FitConfig, resume: bool = True):
                 print(f"WARNING: bin entries ({health['n_valid_pairs']}) "
                       f"exceed pair_cap ({config.pair_cap}) — gradient "
                       "contributions are being dropped", flush=True)
+            impl = os.environ.get("FPC_FOLD_IMPL")
+            exc = {"banded": health["fold_band_excess"],
+                   "banded_rev": health["fold_band_excess_rev"]}.get(impl)
+            if exc is not None and exc > 0:
+                print(f"WARNING: triangle-id band exceeds the banded-fold "
+                      f"window by {exc} — gradient contributions are "
+                      "being dropped (restart with FPC_FOLD_IMPL=segment)",
+                      flush=True)
         metrics_file.write(_json.dumps(record) + "\n")
         metrics_file.flush()
 

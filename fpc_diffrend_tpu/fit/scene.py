@@ -74,9 +74,39 @@ def load_calibration(calibpath: str, cam_names: list[str],
     return np.stack(projs), np.stack(mvs)
 
 
+def band_reorder(faces: np.ndarray, fuv: np.ndarray):
+    """Spatially coherent face order: stable-sort faces by smallest vertex
+    index. Rendering is order-independent (z-buffered; ties at exactly
+    equal depth may resolve to a different winner), but the banded
+    gradient fold (ops/pallas/raster_grad_tpu.banded_fold) needs triangle
+    ids that are band-limited along the tile-sorted bin order — vertex
+    indices are spatially coherent for authored meshes, so min-vertex
+    order bounds each tile row's id band. Output OBJs inherit the
+    reordered face lines (same geometry).
+
+    :return: (faces, fuv) reordered consistently.
+    """
+    perm = np.argsort(np.asarray(faces).min(axis=1), kind="stable")
+    return np.asarray(faces)[perm], np.asarray(fuv)[perm]
+
+
 def build_scene(basemesh: objlib.MeshData, proj: np.ndarray, mv: np.ndarray,
-                deltas: np.ndarray | None = None) -> Scene:
-    """Assemble the Scene pytree from parsed inputs."""
+                deltas: np.ndarray | None = None,
+                reorder_faces: bool = True) -> Scene:
+    """Assemble the Scene pytree from parsed inputs.
+
+    :param reorder_faces: band-reorder faces for the banded gradient fold
+        (see band_reorder); disable to keep the input face order exactly.
+    """
+    if reorder_faces:
+        faces, fuv = band_reorder(basemesh.faces, basemesh.fuv)
+        import dataclasses as _dc
+
+        if _dc.is_dataclass(basemesh):
+            basemesh = _dc.replace(basemesh, faces=faces, fuv=fuv)
+        else:
+            basemesh = type(basemesh)(vertices=basemesh.vertices,
+                                      uv=basemesh.uv, faces=faces, fuv=fuv)
     topo = objlib.build_topology(basemesh.faces, basemesh.n_vertices)
     if deltas is None:
         deltas = np.zeros((basemesh.vertices.shape[0], 1), np.float32)

@@ -441,12 +441,18 @@ def _fold_kernel(n_chunks: int, tp: int, w0_ref,
 
 
 def banded_fold(grad_pairs_t: Array, sorted_tri: Array, n_live,
-                pair_cap: int, n_tris: int, interpret: bool = False):
+                pair_cap: int, n_tris: int, interpret: bool = False,
+                reverse: bool = False):
     """Per-triangle gradient fold via the sliding-window kernel.
 
     :param grad_pairs_t: (REC, P) bin-entry gradients (kernel output).
     :param sorted_tri: (P_raw,) triangle id per sorted entry.
     :param n_live: live-entry count (bins.bin_start[-1]).
+    :param reverse: process chunks in reverse bin order — for scenes
+        whose triangle ids DESCEND along the tile-sorted order (the GL
+        convention's y-flip makes upright-camera scenes descend when face
+        ids ascend with world y). The accumulation targets absolute
+        triangle columns, so only the chunk order flips.
     :return: (grad_tri (n_tris, REC), overflow (int32 scalar) — entries
         whose id fell outside the sliding window, 0 for banded scenes).
     """
@@ -456,8 +462,13 @@ def banded_fold(grad_pairs_t: Array, sorted_tri: Array, n_live,
     live = jnp.arange(P, dtype=jnp.int32) < n_live
     tri = jnp.where(live, sorted_tri[:P], -1)
     tri_c = tri.reshape(n_chunks, CHUNK)
+    grads = grad_pairs_t[:, :P]
+    if reverse:
+        tri_c = tri_c[::-1]
+        tri = tri_c.reshape(-1)
+        grads = grads.reshape(REC, n_chunks, CHUNK)[:, ::-1, :].reshape(
+            REC, P)
     lo = jnp.min(jnp.where(tri_c >= 0, tri_c, n_tris), axis=1)
-    hi = jnp.max(tri_c, axis=1)                     # -1 for dead chunks
 
     # retirement-safe window origins: suffix minimum, 128-aligned
     suf = jax.lax.associative_scan(jnp.minimum, lo, reverse=True)
@@ -488,8 +499,33 @@ def banded_fold(grad_pairs_t: Array, sorted_tri: Array, n_live,
         out_shape=[jax.ShapeDtypeStruct((REC, tp), jnp.float32),
                    jax.ShapeDtypeStruct((1,), jnp.int32)],
         interpret=interpret,
-    )(w0, grad_pairs_t[:, :P], tri_f)
+    )(w0, grads, tri_f)
     return out_t.T[:n_tris], ovf[0]
+
+
+def fold_band_excess(sorted_tri: Array, n_live, pair_cap: int,
+                     n_tris: int, reverse: bool = False) -> Array:
+    """How far the scene's triangle-id bands exceed the fold window.
+
+    <= -margin means every bin entry lands inside the sliding window and
+    the banded fold is exact (0 overflow); fit.api.autotune_caps uses
+    this to decide FPC_FOLD_IMPL and the periodic health check watches it
+    drift. Pure XLA, same window-origin construction as banded_fold.
+    """
+    P = min(pair_cap, sorted_tri.shape[0])
+    P = (P // CHUNK) * CHUNK
+    n_chunks = P // CHUNK
+    live = jnp.arange(P, dtype=jnp.int32) < n_live
+    tri = jnp.where(live, sorted_tri[:P], -1)
+    tri_c = tri.reshape(n_chunks, CHUNK)
+    if reverse:
+        tri_c = tri_c[::-1]
+    lo = jnp.min(jnp.where(tri_c >= 0, tri_c, n_tris), axis=1)
+    hi = jnp.max(tri_c, axis=1)
+    suf = jax.lax.associative_scan(jnp.minimum, lo, reverse=True)
+    tp = (n_tris + 127) // 128 * 128 + FOLD_WINDOW
+    w0 = jnp.clip((suf // 128) * 128, 0, tp - FOLD_WINDOW)
+    return jnp.max(hi - w0) - (FOLD_WINDOW - 1)
 
 
 def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
@@ -601,12 +637,14 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
 
     import os
 
-    if os.environ.get("FPC_FOLD_IMPL", "segment") == "banded":
+    fold_impl = os.environ.get("FPC_FOLD_IMPL", "segment")
+    if fold_impl in ("banded", "banded_rev"):
         # Sliding-window Pallas fold (see banded_fold). The overflow
         # counter is folded into the result as a zero contribution when
         # clean; fit-side health checks validate the band assumption.
         out32, _ovf = banded_fold(grad_pairs_t, bins.sorted_tri, n_live,
-                                  pair_cap, n_tris, interpret)
+                                  pair_cap, n_tris, interpret,
+                                  reverse=fold_impl == "banded_rev")
         grad_both = live_cols(out32)
     elif bins.inv_pos is not None:
         # Gather fold (FPC_FOLD_IMPL=gather): each triangle reads its <=K

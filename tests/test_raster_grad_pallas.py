@@ -258,3 +258,35 @@ def test_banded_fold_unit_many_chunks(rng):
     np.add.at(expect, ids[live], grads.T[live])
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4,
                                atol=2e-4)
+
+
+def test_banded_fold_reverse_descending_bands(rng):
+    """banded_fold(reverse=True) handles DESCENDING id bands (the GL
+    y-flip case) exactly; forward mode would overflow on the same data."""
+    from fpc_diffrend_tpu.ops.pallas import raster_grad_tpu as rg
+
+    T, P = 5000, 8192
+    n_live = 7000
+    base = np.linspace(T - 300, 0, n_live).astype(np.int32)   # descending
+    ids_live = np.clip(base + rng.integers(0, 280, size=n_live),
+                       0, T - 1).astype(np.int32)
+    ids = np.concatenate([ids_live, np.zeros(P - n_live, np.int32)])
+    grads = rng.normal(size=(rg.REC, P)).astype(np.float32)
+
+    out, ovf = rg.banded_fold(jnp.asarray(grads), jnp.asarray(ids),
+                              jnp.int32(n_live), P, T, interpret=True,
+                              reverse=True)
+    assert int(ovf) == 0
+
+    live = np.arange(P) < n_live
+    expect = np.zeros((T, rg.REC), np.float32)
+    np.add.at(expect, ids[live], grads.T[live])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4,
+                               atol=2e-4)
+
+    # sanity: the band-excess measure agrees about direction
+    exc_f = int(rg.fold_band_excess(jnp.asarray(ids), jnp.int32(n_live),
+                                    P, T, reverse=False))
+    exc_r = int(rg.fold_band_excess(jnp.asarray(ids), jnp.int32(n_live),
+                                    P, T, reverse=True))
+    assert exc_r <= 0 < exc_f
