@@ -231,6 +231,165 @@ def _place_sort(tile_ids: Array, T: int, n_tiles: int, P: int,
     return sorted_tri, bin_start, inv
 
 
+# ---------------------------------------------------------------------------
+# Pallas counting-rank placement (FPC_BIN_IMPL=pallas)
+# ---------------------------------------------------------------------------
+#
+# The (tile, tri) pair key-sort is the binning stage's dominant cost
+# (~18 ms of the headline step through XLA's bitonic sort). The sorted
+# position is derivable without sorting (see _place_rank), and the dense
+# per-tile counting it needs maps perfectly onto kernel one-hot matmuls:
+#
+#   pass A: per-tile pair counts — for each 128-pair row, accumulate
+#           onehot_a (NH, 128p) @ onehot_b^T (128p, 128b) into a VMEM
+#           (NH, 128) counter plane (tile id factored as 128*a + b)
+#   XLA:    exclusive cumsum of the counts -> bin_start (also an output)
+#   pass B: positions — base[tile_p] and the running same-tile count are
+#           read back from (NH, 128) planes with the transposed one-hot
+#           contraction (no gathers), the within-row rank is a masked
+#           pair-equality column sum, and the running counters advance by
+#           the pass-A increment matmul
+#
+# One int32 scatter of the (unique) positions then builds sorted_tri, and
+# the record gather proceeds as in the sort path. Output is bit-identical
+# to _place_sort (natural pair order is tri-major, so within-bin order
+# stays tri-ascending).
+
+_PLACE_ROWS = 8            # pair rows (chunks of 128) per kernel program
+
+
+def _tile_onehots(trow, NH):
+    """(oh_a (NH, 128p), oh_b (128b, 128p)) for one (1, 128) f32 id row."""
+    a = jnp.floor(trow / 128.0)
+    b = trow - a * 128.0
+    ia = jax.lax.broadcasted_iota(jnp.int32, (NH, TILE_W), 0).astype(
+        jnp.float32)
+    ib = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_W), 0).astype(
+        jnp.float32)
+    return ((ia == a).astype(jnp.bfloat16), (ib == b).astype(jnp.bfloat16))
+
+
+def _count_kernel(n_prog: int, NH: int, tiles_ref, counts_ref,
+                  cnt_vmem):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        cnt_vmem[:] = jnp.zeros((NH, CHUNK), jnp.float32)
+
+    for row in range(_PLACE_ROWS):
+        trow = tiles_ref[row:row + 1, :]
+        oh_a, oh_b = _tile_onehots(trow, NH)
+        inc = jax.lax.dot_general(
+            oh_a, oh_b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (NH, 128b)
+        cnt_vmem[:] = cnt_vmem[:] + inc
+
+    @pl.when(g == n_prog - 1)
+    def _():
+        counts_ref[...] = cnt_vmem[...]
+
+
+def _plane_lookup(plane, oh_a, oh_b, NH):
+    """plane[a_p, b_p] per pair: transposed one-hot contraction + NH
+    masked row-selects (no gathers). Values are integers up to ~P, so the
+    bf16 contraction uses the 3-way split (error < 0.02; the caller
+    rounds the final position)."""
+    r = None
+    for part in _split3_bf16(plane):
+        f = jax.lax.dot_general(part, oh_b, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        r = f if r is None else r + f                 # (NH, 128p)
+    acc = jnp.zeros((1, TILE_W), jnp.float32)
+    for a in range(NH):
+        acc = acc + r[a:a + 1, :] * oh_a[a:a + 1, :].astype(jnp.float32)
+    return acc                                        # (1, 128p)
+
+
+def _place_kernel(n_prog: int, NH: int, base_ref, tiles_ref, pos_ref,
+                  cnt_vmem):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        cnt_vmem[:] = jnp.zeros((NH, CHUNK), jnp.float32)
+
+    rows = []
+    for row in range(_PLACE_ROWS):
+        trow = tiles_ref[row:row + 1, :]
+        oh_a, oh_b = _tile_onehots(trow, NH)
+        base = _plane_lookup(base_ref[...], oh_a, oh_b, NH)
+        run = _plane_lookup(cnt_vmem[...], oh_a, oh_b, NH)
+        # within-row exclusive rank among equal tile ids
+        eq = (trow == trow.reshape(TILE_W, 1)).astype(jnp.float32)
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (TILE_W, TILE_W), 0)
+               < jax.lax.broadcasted_iota(jnp.int32, (TILE_W, TILE_W), 1)
+               ).astype(jnp.float32)
+        rank = jnp.sum(eq * tri, axis=0, keepdims=True)  # (1, 128)
+        rows.append(jnp.round(base + run + rank))
+        inc = jax.lax.dot_general(
+            oh_a, oh_b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        cnt_vmem[:] = cnt_vmem[:] + inc
+    pos_ref[...] = jnp.concatenate(rows, axis=0)
+
+
+def _place_pallas(tile_ids: Array, T: int, n_tiles: int, P: int,
+                  interpret: bool = False):
+    """Counting-rank placement via the two Pallas passes; output matches
+    _place_sort exactly (same kept prefix, same within-bin order)."""
+    K = tile_ids.shape[1]
+    NP = T * K
+    rows_pad = (-NP) % (_PLACE_ROWS * CHUNK)
+    tiles_f = jnp.concatenate(
+        [tile_ids.reshape(-1).astype(jnp.float32),
+         jnp.full((rows_pad,), float(n_tiles), jnp.float32)])
+    NR = tiles_f.shape[0] // CHUNK
+    n_prog = NR // _PLACE_ROWS
+    tiles2 = tiles_f.reshape(NR, CHUNK)
+    NH = ((n_tiles + 1) + CHUNK - 1) // CHUNK
+    NH = max(NH, 8)
+
+    counts2 = pl.pallas_call(
+        functools.partial(_count_kernel, n_prog, NH),
+        grid=(n_prog,),
+        in_specs=[pl.BlockSpec((_PLACE_ROWS, CHUNK), lambda g: (g, 0))],
+        out_specs=pl.BlockSpec((NH, CHUNK), lambda g: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NH, CHUNK), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((NH, CHUNK), jnp.float32)],
+        interpret=interpret,
+    )(tiles2)
+    counts = counts2.reshape(-1).astype(jnp.int32)    # (NH * 128,)
+
+    bin_start_full = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts[:n_tiles]).astype(jnp.int32)])
+    bin_start = jnp.minimum(bin_start_full, P)
+    base = bin_start_full.at[n_tiles].set(NP)         # sentinel -> dropped
+    base2 = jnp.pad(base[:n_tiles + 1].astype(jnp.float32),
+                    (0, NH * CHUNK - (n_tiles + 1)),
+                    constant_values=float(NP)).reshape(NH, CHUNK)
+
+    pos2 = pl.pallas_call(
+        functools.partial(_place_kernel, n_prog, NH),
+        grid=(n_prog,),
+        in_specs=[pl.BlockSpec((NH, CHUNK), lambda g: (0, 0)),
+                  pl.BlockSpec((_PLACE_ROWS, CHUNK), lambda g: (g, 0))],
+        out_specs=pl.BlockSpec((_PLACE_ROWS, CHUNK), lambda g: (g, 0)),
+        out_shape=jax.ShapeDtypeStruct((NR, CHUNK), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((NH, CHUNK), jnp.float32)],
+        interpret=interpret,
+    )(base2, tiles2)
+    pos = pos2.reshape(-1)[:NP].astype(jnp.int32)
+
+    tri_ids = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None], tile_ids.shape
+    ).reshape(-1)
+    sorted_tri = jnp.zeros(P, jnp.int32).at[pos].set(
+        tri_ids, mode="drop", unique_indices=True)
+    return sorted_tri, bin_start
+
+
 _RANK_CHUNK = 256
 
 
@@ -343,8 +502,11 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
         P = min(cap, P)
 
     inv_pos = None
-    if os.environ.get("FPC_BIN_IMPL", "sort") == "rank":
+    bin_impl = os.environ.get("FPC_BIN_IMPL", "sort")
+    if bin_impl == "rank":
         sorted_tri, bin_start = _place_rank(tile_ids, T, n_tiles, P)
+    elif bin_impl == "pallas":
+        sorted_tri, bin_start = _place_pallas(tile_ids, T, n_tiles, P)
     else:
         # the gather-based gradient fold needs the inverse permutation
         want_inv = os.environ.get("FPC_FOLD_IMPL", "segment") == "gather"
@@ -490,18 +652,21 @@ def _phasea_block(at, rec_base, lo, hi, ti, x_row):
     # fails for every pixel with no per-row mask op.
     c0 = jnp.where(active, c0, jnp.float32(-1e30))
 
-    ax0 = a0 * x_row                                      # (n, 128), hoisted
-    ax1 = a1 * x_row
-    ax2 = a2 * x_row
-    zxx = zx * x_row
+    # Row 0 planes, then INCREMENTAL row updates (l(y+1) = l(y) + b): one
+    # (n, 128) add per plane per row instead of re-evaluating the affine
+    # form — the (n, 1) scalar-shaped ops cost full vector registers on
+    # the VPU, so folding them away cuts phase A's issue count ~40%.
+    # f32 drift over 7 accumulated adds is ~ulp-level; borderline
+    # coverage pixels may differ from the exact evaluation at the same
+    # rate the scan/pallas parity tests already allow.
+    y0 = (ti * TILE_H).astype(jnp.float32) + 0.5          # scalar
+    l0 = a0 * x_row + (b0 * y0 + c0)                      # (n, 128)
+    l1 = a1 * x_row + (b1 * y0 + c1)
+    l2 = a2 * x_row + (b2 * y0 + c2)
+    z = zx * x_row + (zy * y0 + zc)
 
     z_rows, i_rows = [], []
     for g in range(TILE_H):
-        y = (ti * TILE_H + g).astype(jnp.float32) + 0.5   # scalar
-        l0 = ax0 + (b0 * y + c0)                          # (n, 128)
-        l1 = ax1 + (b1 * y + c1)
-        l2 = ax2 + (b2 * y + c2)
-        z = zxx + (zy * y + zc)
         covered = ((jnp.minimum(jnp.minimum(l0, l1), l2) >= 0.0)
                    & (z >= -1.0) & (z <= 1.0))
         zm = jnp.where(covered, z, _BIG)
@@ -512,6 +677,11 @@ def _phasea_block(at, rec_base, lo, hi, ti, x_row):
         imin = jnp.min(im, axis=0, keepdims=True)          # (1, 128)
         z_rows.append(zmin)
         i_rows.append(imin)
+        if g + 1 < TILE_H:
+            l0 = l0 + b0
+            l1 = l1 + b1
+            l2 = l2 + b2
+            z = z + zy
     return (jnp.concatenate(z_rows, axis=0),
             jnp.concatenate(i_rows, axis=0))               # 2 x (8, 128)
 

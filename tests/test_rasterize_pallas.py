@@ -139,6 +139,11 @@ def test_place_rank_matches_sort():
         np.testing.assert_array_equal(np.asarray(tri_s)[:n_live],
                                       np.asarray(tri_r)[:n_live])
 
+        tri_p, bs_p = rt._place_pallas(tid, T, n_tiles, P, interpret=True)
+        np.testing.assert_array_equal(np.asarray(bs_s), np.asarray(bs_p))
+        np.testing.assert_array_equal(np.asarray(tri_s)[:n_live],
+                                      np.asarray(tri_p)[:n_live])
+
         # the inverse permutation: every kept (tri, slot) pair's position
         # must map back to that triangle; invalid pairs (sentinel tile)
         # sort past the live prefix and cap-dropped pairs sit at P — the
