@@ -136,7 +136,8 @@ def autotune_caps(config: FitConfig, scene, params) -> FitConfig:
             f"raster global-list overflow ({health['global_overflow']} "
             "oversized triangles dropped) — scene exceeds MAX_GLOBAL; "
             "reduce triangle size or raise the cap")
-    cap = max(int(health["n_valid_pairs"] * 1.25), 1)
+    mult = float(os.environ.get("FPC_CAP_MULT", "1.25"))
+    cap = max(int(health["n_valid_pairs"] * mult), 1)
     cap = (cap + 127) // 128 * 128
     print(f"[autotune] pair_cap={cap} (measured {health['n_valid_pairs']} "
           f"bin entries, {health['n_global']} global)", flush=True)

@@ -40,9 +40,13 @@ Array = jnp.ndarray
 
 # Larger blocks than the raster kernels' 8x128: the stencil is pure
 # elementwise VPU work, so per-program overhead (5 neighbor-block DMAs
-# per plane set) dominates at small tiles.
-TILE_H = 32
-TILE_W = 256
+# per plane set) dominates at small tiles. FPC_AA_TILE="HxW" overrides
+# for tuning.
+import os as _os
+
+_tile = _os.environ.get("FPC_AA_TILE", "32x256").split("x")
+TILE_H = int(_tile[0])
+TILE_W = int(_tile[1])
 
 
 def pad_resolution(height: int, width: int):

@@ -60,7 +60,7 @@ PATCH_W = 256          # texture patch cols (two lane tiles; 128-aligned)
 # stage. Rows whose footprint exceeds SUB_H - 9 clamp, the same bound
 # doctrine as the per-tile patch (which clamps at PATCH_H - 2); textures
 # of height <= 16 (after the wrap seam remap) are always exact.
-SUB_H = 24
+SUB_H = int(__import__("os").environ.get("FPC_TEX_SUBH", "16"))
 # Max bytes of (extended, all-channel) texture held resident in VMEM.
 # Forward holds one copy, backward two (texture + gradient accumulator).
 RESIDENT_LIMIT = 7 * 2 ** 20
