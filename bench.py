@@ -124,10 +124,49 @@ def build_workload():
                 H=H, W=W, B=B, n_frames=n_frames)
 
 
+def _wait_for_backend(max_wait_s: float = 600.0) -> None:
+    """Wait (up to ``max_wait_s``) until the TPU attach answers a probe.
+
+    The single-chip remote attach has transient outages, and a failing
+    remote compile from an earlier process can wedge it for several
+    minutes — round 3's driver-run bench hit exactly that window and
+    recorded a null result. A wedged attach can HANG rather than raise,
+    so the probe runs in a subprocess with its own timeout; the parent
+    process touches the backend only after a probe succeeds.
+    """
+    import subprocess
+    import time as _time
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.arange(4.0))))")
+    deadline = _time.time() + max_wait_s
+    delay = 20.0
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=90,
+                               capture_output=True)
+            if r.returncode == 0:
+                return
+            msg = r.stderr.decode(errors="replace").strip().splitlines()
+            msg = msg[-1] if msg else "?"
+        except subprocess.TimeoutExpired:
+            msg = "probe hang (90s)"
+        if _time.time() > deadline:
+            print(f"# backend probe still failing: {msg}", file=sys.stderr,
+                  flush=True)
+            return  # let the real run produce the genuine error
+        print(f"# backend probe failed ({msg}); retrying in {delay:.0f}s",
+              file=sys.stderr, flush=True)
+        _time.sleep(delay)
+        delay = min(delay * 1.5, 60.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    if not os.environ.get("FPC_BENCH_CPU"):
+        _wait_for_backend()
     wl = build_workload()
     config, scene, state = wl["config"], wl["scene"], wl["state"]
     frames_u8, batch, faces = wl["frames_u8"], wl["batch"], wl["faces"]

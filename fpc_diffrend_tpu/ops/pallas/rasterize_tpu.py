@@ -255,7 +255,12 @@ def _place_sort(tile_ids: Array, T: int, n_tiles: int, P: int,
 # to _place_sort (natural pair order is tri-major, so within-bin order
 # stays tri-ascending).
 
-_PLACE_ROWS = 8            # pair rows (chunks of 128) per kernel program
+# Pair rows (chunks of 128) per kernel program. WARNING: larger values
+# cut per-program dispatch overhead but the unrolled body grows linearly
+# and 64 rows put the remote Mosaic compile into the stall class that
+# wedges the single-chip attach (observed 2026-08-20; same class as
+# FPC_AA_HALO / FPC_MT_GRAD=4). Keep 8 unless compile-testing first.
+_PLACE_ROWS = int(os.environ.get("FPC_PLACE_ROWS", "8"))
 
 
 def _tile_onehots(trow, NH):
@@ -291,19 +296,17 @@ def _count_kernel(n_prog: int, NH: int, tiles_ref, counts_ref,
 
 
 def _plane_lookup(plane, oh_a, oh_b, NH):
-    """plane[a_p, b_p] per pair: transposed one-hot contraction + NH
-    masked row-selects (no gathers). Values are integers up to ~P, so the
-    bf16 contraction uses the 3-way split (error < 0.02; the caller
-    rounds the final position)."""
+    """plane[a_p, b_p] per pair: transposed one-hot contraction + a
+    masked sublane reduction (no gathers). Values are integers up to ~P,
+    so the bf16 contraction uses the 3-way split (error < 0.02; the
+    caller rounds the final position)."""
     r = None
     for part in _split3_bf16(plane):
         f = jax.lax.dot_general(part, oh_b, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         r = f if r is None else r + f                 # (NH, 128p)
-    acc = jnp.zeros((1, TILE_W), jnp.float32)
-    for a in range(NH):
-        acc = acc + r[a:a + 1, :] * oh_a[a:a + 1, :].astype(jnp.float32)
-    return acc                                        # (1, 128p)
+    return jnp.sum(r * oh_a.astype(jnp.float32), axis=0,
+                   keepdims=True)                     # (1, 128p)
 
 
 def _place_kernel(n_prog: int, NH: int, base_ref, tiles_ref, pos_ref,
@@ -315,18 +318,19 @@ def _place_kernel(n_prog: int, NH: int, base_ref, tiles_ref, pos_ref,
         cnt_vmem[:] = jnp.zeros((NH, CHUNK), jnp.float32)
 
     rows = []
+    lt = (jax.lax.broadcasted_iota(jnp.int32, (TILE_W, TILE_W), 0)
+          < jax.lax.broadcasted_iota(jnp.int32, (TILE_W, TILE_W), 1)
+          ).astype(jnp.float32)
     for row in range(_PLACE_ROWS):
         trow = tiles_ref[row:row + 1, :]
         oh_a, oh_b = _tile_onehots(trow, NH)
-        base = _plane_lookup(base_ref[...], oh_a, oh_b, NH)
-        run = _plane_lookup(cnt_vmem[...], oh_a, oh_b, NH)
+        # one fused lookup of (bin base + running count) — the two plane
+        # lookups share one-hots, so their sum needs a single contraction
+        off = _plane_lookup(base_ref[...] + cnt_vmem[...], oh_a, oh_b, NH)
         # within-row exclusive rank among equal tile ids
         eq = (trow == trow.reshape(TILE_W, 1)).astype(jnp.float32)
-        tri = (jax.lax.broadcasted_iota(jnp.int32, (TILE_W, TILE_W), 0)
-               < jax.lax.broadcasted_iota(jnp.int32, (TILE_W, TILE_W), 1)
-               ).astype(jnp.float32)
-        rank = jnp.sum(eq * tri, axis=0, keepdims=True)  # (1, 128)
-        rows.append(jnp.round(base + run + rank))
+        rank = jnp.sum(eq * lt, axis=0, keepdims=True)   # (1, 128)
+        rows.append(jnp.round(off + rank))
         inc = jax.lax.dot_general(
             oh_a, oh_b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
