@@ -626,14 +626,21 @@ _BIG = 3.0e38
 N_EXTRA = 8               # D iw0 iw1 iw2 du02 du12 dv02 dv12
 
 
-def _phasea_block(at, rec_base, lo, hi, ti, x_row):
-    """Phase-A winner candidates for one (n, REC) record block.
+def _phasea_block(at, rec_base, lo, hi, ti, x_row, slots):
+    """Phase-A inner loop for one (SUB, REC) record block: merge coverage
+    + depth candidates into the per-sublane winner slots.
 
-    Evaluates only the coverage test and the depth plane — the cheapest
-    possible inner loop — and tracks the winning *bin-entry index* (exact
-    in f32 below 2^24) instead of any payload. Returns (z, idx) planes of
-    shape (TILE_H, TILE_W); idx is garbage wherever z == _BIG (discarded
-    by the strict-less merge).
+    ``slots`` is the (2, TILE_H, SUB, TILE_W) VMEM accumulator: slot s of
+    row g holds the best (z, bin-entry index) among the records this tile
+    has streamed through sublane s (entry index exact in f32 below 2^24).
+    Keeping winners PER SUBLANE SLOT removes the two cross-sublane
+    reductions + strict-less merge the old per-block argmin paid per row
+    per block (~6 vector ops); one reduction per tile row at the end of
+    phase A (:func:`_phasea_finish`) recovers the exact same winner: the
+    globally-lowest entry index with minimal z always survives in its
+    slot, because same-slot updates are strict-less (earlier = lower
+    index wins ties) and cross-slot ties are broken by the final
+    lowest-index-among-minimal-z reduction.
 
     Op-count choices (the kernel is VPU-issue bound): the live-range
     ``active`` mask folds into one c-coefficient bias instead of a
@@ -669,33 +676,35 @@ def _phasea_block(at, rec_base, lo, hi, ti, x_row):
     l2 = a2 * x_row + (b2 * y0 + c2)
     z = zx * x_row + (zy * y0 + zc)
 
-    z_rows, i_rows = [], []
     for g in range(TILE_H):
         covered = ((jnp.minimum(jnp.minimum(l0, l1), l2) >= 0.0)
                    & (z >= -1.0) & (z <= 1.0))
         zm = jnp.where(covered, z, _BIG)
-        zmin = jnp.min(zm, axis=0, keepdims=True)          # (1, 128)
-        # tie-break: lowest entry index == lowest triangle id (entries
-        # are sorted by (tile, tri) within a bin)
-        im = jnp.where(zm <= zmin, rec_f, _BIG)
-        imin = jnp.min(im, axis=0, keepdims=True)          # (1, 128)
-        z_rows.append(zmin)
-        i_rows.append(imin)
+        prev = slots[0, g]                                 # (SUB, 128)
+        better = zm < prev
+        slots[1, g] = jnp.where(better, rec_f, slots[1, g])
+        slots[0, g] = jnp.where(better, zm, prev)
         if g + 1 < TILE_H:
             l0 = l0 + b0
             l1 = l1 + b1
             l2 = l2 + b2
             z = z + zy
-    return (jnp.concatenate(z_rows, axis=0),
-            jnp.concatenate(i_rows, axis=0))               # 2 x (8, 128)
 
 
-def _merge_winner(acc, z_new, i_new):
-    """Strict-less z merge of one block's candidates into acc scratch
-    (acc[0] = best z, init _BIG; acc[1] = winning entry index)."""
-    better = z_new < acc[0]
-    acc[0] = jnp.where(better, z_new, acc[0])
-    acc[1] = jnp.where(better, i_new, acc[1])
+def _phasea_finish(slots, acc):
+    """Per-tile cross-slot reduction of the phase-A winner slots into the
+    (2, TILE_H, TILE_W) winner planes: minimal z, then the lowest entry
+    index among slots tied at that z (the exact tie order of a strict
+    per-record scan — see _phasea_block)."""
+    z_rows, i_rows = [], []
+    for g in range(TILE_H):
+        zs = slots[0, g]                                   # (SUB, 128)
+        zmin = jnp.min(zs, axis=0, keepdims=True)          # (1, 128)
+        im = jnp.where(zs <= zmin, slots[1, g], _BIG)
+        i_rows.append(jnp.min(im, axis=0, keepdims=True))
+        z_rows.append(zmin)
+    acc[0] = jnp.concatenate(z_rows, axis=0)
+    acc[1] = jnp.concatenate(i_rows, axis=0)
 
 
 def _split3_bf16(x):
@@ -767,13 +776,13 @@ def _fused_kernel(gx: int, gy: int, mt: int, gbase: int, n_chan: int,
          id_out_ref, entry_out_ref, payload_out_ref, extra_out_ref,
          *rest) = refs
         colour_refs = rest[:n_chan]
-        (chunk_vmem, global_vmem, acc, fvm, bbuf_vmem, tex_vmem,
+        (chunk_vmem, global_vmem, acc, slots, fvm, bbuf_vmem, tex_vmem,
          dma_sem, bsem, global_sem, tex_sem) = rest[n_chan:]
     else:
         (bin_start_ref, n_global_ref, gblk_ty_ref, sched_start_ref,
          sched_col_ref, sorted_hbm, global_hbm,
          id_out_ref, entry_out_ref, payload_out_ref, extra_out_ref,
-         chunk_vmem, global_vmem, acc, fvm, bbuf_vmem,
+         chunk_vmem, global_vmem, acc, slots, fvm, bbuf_vmem,
          dma_sem, bsem, global_sem) = refs
         colour_refs = ()
         bg_ref = tex_vmem = tex_sem = tex_hbm = None
@@ -851,15 +860,15 @@ def _fused_kernel(gx: int, gy: int, mt: int, gbase: int, n_chan: int,
                              n_sched, sorted_hbm,
                              id_out_ref, entry_out_ref, payload_out_ref,
                              extra_out_ref, chunk_vmem, global_vmem, acc,
-                             fvm, bbuf_vmem, dma_sem, bsem,
+                             slots, fvm, bbuf_vmem, dma_sem, bsem,
                              n_chan, tex_geom, tex_vmem, colour_refs)
 
 
 def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
                      gblk_ty_ref, sched_col_ref, s0, n_sched, sorted_hbm,
                      id_out_ref, entry_out_ref, payload_out_ref,
-                     extra_out_ref, chunk_vmem, global_vmem, acc, fvm,
-                     bbuf_vmem, dma_sem, bsem,
+                     extra_out_ref, chunk_vmem, global_vmem, acc, slots,
+                     fvm, bbuf_vmem, dma_sem, bsem,
                      n_chan=0, tex_geom=None, tex_vmem=None,
                      colour_refs=()):
     """Both kernel phases + payload resolve for one non-empty tile
@@ -869,9 +878,9 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
              ).astype(jnp.float32) + 0.5                       # (1, 128)
 
-    # init accumulator: z = BIG, entry idx = -1 (matches nothing)
-    acc[0] = jnp.full((TILE_H, TILE_W), _BIG)
-    acc[1] = jnp.full((TILE_H, TILE_W), -1.0)
+    # init the per-sublane winner slots: z = BIG, entry idx = BIG (the
+    # final reduction and the downstream hit mask both treat BIG as miss)
+    slots[...] = jnp.full((2, TILE_H, SUB, TILE_W), _BIG)
 
     first_chunk = start // CHUNK
     n_chunks = jnp.where(count > 0,
@@ -890,9 +899,7 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
             @pl.when((sub_base < end) & (sub_base + SUB > start))
             def _():
                 at = at_full[sb * SUB:(sb + 1) * SUB, :]
-                zc_, ic_ = _phasea_block(at, sub_base, start, end, ti,
-                                         x_row)
-                _merge_winner(acc, zc_, ic_)
+                _phasea_block(at, sub_base, start, end, ti, x_row, slots)
 
         @pl.when(k + 2 < n_sched)
         def _():
@@ -912,10 +919,12 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
                  & (ti <= blk_max))
         def _():
             at = global_vmem[:, pl.ds(gb * CHUNK, CHUNK)].T
-            zc_, ic_ = _phasea_block(at, gbase + gb * CHUNK, gbase,
-                                     gbase + n_global, ti, x_row)
-            _merge_winner(acc, zc_, ic_)
+            for sb in range(CHUNK // SUB):
+                _phasea_block(at[sb * SUB:(sb + 1) * SUB, :],
+                              gbase + gb * CHUNK + sb * SUB, gbase,
+                              gbase + n_global, ti, x_row, slots)
 
+    _phasea_finish(slots, acc)
     acci = acc[1]                                          # (8, 128)
 
     # ---- phase B: gather the winner's record per pixel (MXU one-hot) ----
@@ -1056,7 +1065,7 @@ def _sample_tile(n_chan, tex_geom, tex_vmem, colour_refs, cols,
     pixels carry uv (0, 0) and sample the same value the separate path's
     background write produces (wrap sample at texel -0.5)."""
     from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
-        PATCH_W, PRECISION, SUB_H, _wrow)
+        PATCH_W, PRECISION, SUB_H, _TEX_IMPL, _bilin_x, _wrow, _xsel)
 
     th, tw, he, we = tex_geom
     tu_t = jnp.concatenate(tu_rows, axis=0)               # (8, 128)
@@ -1091,12 +1100,18 @@ def _sample_tile(n_chan, tex_geom, tex_vmem, colour_refs, cols,
                         // TILE_H) * TILE_H, 0, he - SUB_H)
         ltr = jnp.clip(t_row - t0r.astype(jnp.float32), 0.0, SUB_H - 1.001)
         t0r = pl.multiple_of(t0r, TILE_H)
-        wx = _wrow(ls[g:g + 1, :], PATCH_W)               # (PW, 128)
         wy = _wrow(ltr, SUB_H)                            # (SUB_H, 128)
+        if _TEX_IMPL == "onehot":
+            oh0, fs = _xsel(ls[g:g + 1, :], PATCH_W)
+        else:
+            wx = _wrow(ls[g:g + 1, :], PATCH_W)           # (PW, 128)
         for c in range(n_chan):
             subp = tex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
-            b = jnp.dot(subp, wx, preferred_element_type=jnp.float32,
-                        precision=PRECISION)              # (SUB_H, 128)
+            if _TEX_IMPL == "onehot":
+                b = _bilin_x(subp, oh0, fs)
+            else:
+                b = jnp.dot(subp, wx, preferred_element_type=jnp.float32,
+                            precision=PRECISION)          # (SUB_H, 128)
             col_rows[c].append(jnp.sum(wy * b, axis=0, keepdims=True))
     for c in range(n_chan):
         colour_refs[c][:, cols] = jnp.concatenate(col_rows[c], axis=0)
@@ -1199,6 +1214,7 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
             pltpu.VMEM((4, REC, CHUNK), jnp.float32),   # prefetch rotation
             pltpu.VMEM((REC, MAX_GLOBAL), jnp.float32),  # persistent
             pltpu.VMEM((2, TILE_H, TILE_W), jnp.float32),  # z + entry idx
+            pltpu.VMEM((2, TILE_H, SUB, TILE_W), jnp.float32),  # A slots
             pltpu.VMEM((TILE_H, REC, TILE_W), jnp.float32),  # gathered
             pltpu.VMEM((2, REC, CHUNK), jnp.float32),   # phase-B re-stream
         ] + tex_scratch + [

@@ -38,9 +38,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
-    PATCH_W, PRECISION, SUB_H, TILE_H, TILE_W, VMEM_LIMIT,
-    _extend_texture, _pad_hw, _seam_remap, _wrow, _wrow_pair,
-    extended_shape)
+    PATCH_W, PRECISION, SUB_H, TILE_H, TILE_W, VMEM_LIMIT, _TEX_IMPL,
+    _bilin_x, _extend_texture, _pad_hw, _roll_lanes, _seam_remap, _sel2,
+    _wrow, _wrow_pair, _xsel, extended_shape)
 
 Array = jnp.ndarray
 
@@ -150,14 +150,14 @@ def _prep_mip(texc: Array, lam: Array, th: int, tw: int, max_level: int):
             jnp.concatenate(live_all), lamp, tile_live, geom)
 
 
-def _level_weight(lam_row, li, L):
-    """(1, TILE_W) trilinear weight of level ``li`` for one pixel row."""
+def _level_weight(lam_row, li_f):
+    """(1, TILE_W) trilinear weight of (traced) level ``li_f`` for one
+    pixel row: 1 - frac at floor(lam) == li, frac at floor(lam) == li - 1
+    (level 0 has no finer neighbor)."""
     lo = jnp.floor(lam_row)
     frac = lam_row - lo
-    wl = jnp.where(lo == li, 1.0 - frac, 0.0)
-    if li > 0:
-        wl = wl + jnp.where(lo == li - 1, frac, 0.0)
-    return wl
+    return (jnp.where(lo == li_f, 1.0 - frac, 0.0)
+            + jnp.where((lo == li_f - 1.0) & (li_f > 0.0), frac, 0.0))
 
 
 def _mip_fwd_kernel(C: int, L: int, gx: int, n_tiles: int, mt: int,
@@ -193,11 +193,18 @@ def _mip_fwd_kernel(C: int, L: int, gx: int, n_tiles: int, mt: int,
         def _(cols=cols, tile=tile):
             for c in range(C):
                 acc_vmem[c] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-            for li in range(L):
+
+            # Dynamic level loop: the unrolled 7-level body put the
+            # remote Mosaic compile into the attach-wedging stall class
+            # (round 3's config-5 failure); one traced-level body is ~L
+            # times smaller and the per-(tile, level) liveness skip works
+            # the same under pl.when.
+            def level_body(li, _, cols=cols, tile=tile):
                 live = live_ref[li * n_tiles + tile] > 0
 
                 @pl.when(live)
-                def _(li=li, cols=cols, tile=tile):
+                def _():
+                    li_f = li.astype(jnp.float32)
                     c0 = pl.multiple_of(c0_ref[li * n_tiles + tile],
                                         TILE_W)
                     for r in range(TILE_H):
@@ -209,19 +216,29 @@ def _mip_fwd_kernel(C: int, L: int, gx: int, n_tiles: int, mt: int,
                             - t0r.astype(jnp.float32),
                             0.0, SUB_H - 1.001)
                         lsr = ls_ref[li, r, cols].reshape(1, TILE_W)
-                        wx = _wrow(lsr, PATCH_W)
                         wy = _wrow(ltr, SUB_H)
+                        if _TEX_IMPL == "onehot":
+                            oh0, fs = _xsel(lsr, PATCH_W)
+                        else:
+                            wx = _wrow(lsr, PATCH_W)
                         lam_row = lam_ref[r:r + 1, cols]
-                        wl = _level_weight(lam_row, li, L)
+                        wl = _level_weight(lam_row, li_f)
                         for c in range(C):
                             sub = tex_vmem[c, pl.ds(t0r, SUB_H),
                                            pl.ds(c0, PATCH_W)]
-                            b = jnp.dot(sub, wx,
-                                        preferred_element_type=jnp.float32,
-                                        precision=PRECISION)
+                            if _TEX_IMPL == "onehot":
+                                b = _bilin_x(sub, oh0, fs)
+                            else:
+                                b = jnp.dot(
+                                    sub, wx,
+                                    preferred_element_type=jnp.float32,
+                                    precision=PRECISION)
                             acc_vmem[c, r:r + 1, :] = (
                                 acc_vmem[c, r:r + 1, :] + wl * jnp.sum(
                                     wy * b, axis=0, keepdims=True))
+                return 0
+
+            jax.lax.fori_loop(0, L, level_body, 0)
             for c in range(C):
                 out_refs[c][:, cols] = acc_vmem[c]
 
@@ -264,14 +281,17 @@ def _mip_bwd_kernel(C: int, L: int, gx: int, gy: int, pgx: int,
         def _(cols=cols, tile=tile):
             gst_vmem[0] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
             gst_vmem[1] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-            for li in range(L):
+
+            # dynamic level loop: see _mip_fwd_kernel
+            def level_body(li, _, cols=cols, tile=tile):
                 live = live_ref[li * n_tiles + tile] > 0
 
                 @pl.when(live)
-                def _(li=li, cols=cols, tile=tile):
+                def _():
+                    li_f = li.astype(jnp.float32)
                     c0 = pl.multiple_of(c0_ref[li * n_tiles + tile],
                                         TILE_W)
-                    sc = float(2.0 ** -li)
+                    sc = jnp.exp2(-li_f)
                     for r in range(TILE_H):
                         t0r = pl.multiple_of(
                             t0r_ref[(li * n_tiles + tile) * TILE_H + r],
@@ -281,10 +301,15 @@ def _mip_bwd_kernel(C: int, L: int, gx: int, gy: int, pgx: int,
                             - t0r.astype(jnp.float32),
                             0.0, SUB_H - 1.001)
                         lsr = ls_ref[li, r, cols].reshape(1, TILE_W)
-                        wx, dwx = _wrow_pair(lsr, PATCH_W)
+                        onehot = _TEX_IMPL == "onehot"
+                        if onehot:
+                            oh0, fs = _xsel(lsr, PATCH_W)
+                            live_x = (fs > 0.0).astype(jnp.float32)
+                        else:
+                            wx, dwx = _wrow_pair(lsr, PATCH_W)
                         wy, dwy = _wrow_pair(ltr, SUB_H)
                         lam_row = lam_ref[r:r + 1, cols]
-                        wl = _level_weight(lam_row, li, L)
+                        wl = _level_weight(lam_row, li_f)
                         # in-patch subgradient gates (wrap is periodic, so
                         # only the patch-clamp boundary gates apply)
                         s_in = ((lsr > 0.0)
@@ -297,21 +322,42 @@ def _mip_bwd_kernel(C: int, L: int, gx: int, gy: int, pgx: int,
                             g = g_refs[c][r:r + 1, cols] * wl
                             sub = tex_vmem[c, pl.ds(t0r, SUB_H),
                                            pl.ds(c0, PATCH_W)]
-                            gsub = jax.lax.dot_general(
-                                wy * g, wx,
-                                dimension_numbers=(((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=PRECISION)
+                            wg = wy * g
+                            if onehot:
+                                g0 = jax.lax.dot_general(
+                                    wg * (1.0 - fs), oh0,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=PRECISION)
+                                g1 = jax.lax.dot_general(
+                                    wg * fs, oh0, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=PRECISION)
+                                gsub = g0 + _roll_lanes(g1, 1)
+                            else:
+                                gsub = jax.lax.dot_general(
+                                    wg, wx,
+                                    dimension_numbers=(((1,), (1,)),
+                                                       ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=PRECISION)
                             cur = gtex_vmem[c, pl.ds(t0r, SUB_H),
                                             pl.ds(c0, PATCH_W)]
                             gtex_vmem[c, pl.ds(t0r, SUB_H),
                                       pl.ds(c0, PATCH_W)] = cur + gsub
-                            b = jnp.dot(sub, wx,
-                                        preferred_element_type=jnp.float32,
-                                        precision=PRECISION)
-                            b2 = jnp.dot(sub, dwx,
-                                         preferred_element_type=jnp.float32,
-                                         precision=PRECISION)
+                            if onehot:
+                                A0, A1 = _sel2(sub, oh0)
+                                b = (1.0 - fs) * A0 + fs * A1
+                                b2 = live_x * (A1 - A0)
+                            else:
+                                b = jnp.dot(
+                                    sub, wx,
+                                    preferred_element_type=jnp.float32,
+                                    precision=PRECISION)
+                                b2 = jnp.dot(
+                                    sub, dwx,
+                                    preferred_element_type=jnp.float32,
+                                    precision=PRECISION)
                             gst_vmem[0, r:r + 1, :] = (
                                 gst_vmem[0, r:r + 1, :]
                                 + sc * s_in * jnp.sum(
@@ -320,6 +366,9 @@ def _mip_bwd_kernel(C: int, L: int, gx: int, gy: int, pgx: int,
                                 gst_vmem[1, r:r + 1, :]
                                 + sc * t_in * jnp.sum(
                                     dwy * b, axis=0, keepdims=True) * g)
+                return 0
+
+            jax.lax.fori_loop(0, L, level_body, 0)
             gs_ref[:, cols] = gst_vmem[0]
             gt_ref[:, cols] = gst_vmem[1]
 

@@ -114,6 +114,66 @@ def _wrow_pair(local_row, n):
     return w, dw
 
 
+# The X contraction has two implementations (FPC_TEX_IMPL):
+#   hat     — dense (PATCH_W, 128) hat-weight matmuls (round-2 design).
+#   onehot  — one (PATCH_W, 128) one-hot at floor(ls) selects texel
+#             column s0 by matmul; texel s0+1 comes from the SAME one-hot
+#             against a lane-rolled patch (and, in the backward's texel
+#             scatter, from lane-rolling the result) — so only one wide
+#             plane is ever constructed. The bilinear lerp/derivative
+#             recombination then runs on (SUB_H, 128) shapes. Both passes
+#             are hat-CONSTRUCTION bound on the VPU (~4 vector ops per
+#             (PATCH_W, 128) plane); onehot builds one plane (2 ops)
+#             instead of one (fwd) / two (bwd) hat planes (4/7 ops).
+# Derivative semantics match _dwrow exactly, including the fs == 0
+# subgradient (where both hat rows are 0): the recombined derivative is
+# gated to zero there.
+_TEX_IMPL = __import__("os").environ.get("FPC_TEX_IMPL", "hat")
+
+
+def _xsel(local_row, n):
+    """(one-hot at floor(local), fraction) for the onehot X contraction."""
+    s0 = jnp.floor(local_row)                       # (1, TILE_W)
+    fs = local_row - s0
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, TILE_W), 0).astype(
+        jnp.float32)
+    return (i == s0).astype(jnp.float32), fs
+
+
+def _sel2(sub, oh0):
+    """(texel s0, texel s0 + 1) per pixel: one one-hot contraction of the
+    patch and one of the lane-rolled patch (column i of the roll = column
+    i + 1 of the patch; ls is clipped below PATCH_W - 1, so the wrapped
+    column is never selected)."""
+    A0 = jax.lax.dot_general(sub, oh0, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=PRECISION)   # (SUB_H, 128)
+    subr = _roll_lanes(sub, sub.shape[1] - 1)
+    A1 = jax.lax.dot_general(subr, oh0, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=PRECISION)
+    return A0, A1
+
+
+def _bilin_x(sub, oh0, fs):
+    """X-direction bilinear lerp == sub @ _wrow(ls): (1-fs) A0 + fs A1.
+
+    (1 - fs) is exact in f32 (Sterbenz), so this matches the hat matmul
+    to within one rounding of each product."""
+    A0, A1 = _sel2(sub, oh0)
+    return (1.0 - fs) * A0 + fs * A1
+
+
+def _roll_lanes(x, shift):
+    """Circular lane shift (axis 1); falls back to a slice-concat roll
+    where the Mosaic roll primitive is unavailable (interpret mode)."""
+    try:
+        return pltpu.roll(x, shift=shift, axis=1)
+    except Exception:
+        n = x.shape[1]
+        return jnp.concatenate([x[:, shift % n:], x[:, :shift % n]], axis=1)
+
+
 # ----------------------------------------------------------------------------
 # XLA-side preparation
 # ----------------------------------------------------------------------------
@@ -309,13 +369,20 @@ def _fwd_kernel(C: int, gx: int, mt: int,
                 ltr = jnp.clip(
                     lt_ref[r:r + 1, cols] - t0r.astype(jnp.float32),
                     0.0, SUB_H - 1.001)
-                wx = _wrow(ls_ref[r:r + 1, cols], PATCH_W)  # (PW, 128)
                 wy = _wrow(ltr, SUB_H)                      # (SUB_H, 128)
+                lsr = ls_ref[r:r + 1, cols]
+                if _TEX_IMPL == "onehot":
+                    oh0, fs = _xsel(lsr, PATCH_W)
+                else:
+                    wx = _wrow(lsr, PATCH_W)                # (PW, 128)
                 for c in range(C):
                     sub = tex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
-                    b = jnp.dot(sub, wx,
-                                preferred_element_type=jnp.float32,
-                                precision=PRECISION)        # (SUB_H, 128)
+                    if _TEX_IMPL == "onehot":
+                        b = _bilin_x(sub, oh0, fs)
+                    else:
+                        b = jnp.dot(sub, wx,
+                                    preferred_element_type=jnp.float32,
+                                    precision=PRECISION)    # (SUB_H, 128)
                     rows[c].append(jnp.sum(wy * b, axis=0, keepdims=True))
             for c in range(C):
                 out_refs[c][:, cols] = jnp.concatenate(rows[c], axis=0)
@@ -363,31 +430,55 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                 ltr = jnp.clip(
                     lt_ref[r:r + 1, cols] - t0r.astype(jnp.float32),
                     0.0, SUB_H - 1.001)
-                wx, dwx = _wrow_pair(lsr, PATCH_W)          # (PW, 128) x2
+                onehot = _TEX_IMPL == "onehot"
+                if onehot:
+                    oh0, fs = _xsel(lsr, PATCH_W)
+                    # _dwrow's fs == 0 subgradient: both hat rows are 0
+                    live_x = (fs > 0.0).astype(jnp.float32)
+                else:
+                    wx, dwx = _wrow_pair(lsr, PATCH_W)      # (PW, 128) x2
                 wy, dwy = _wrow_pair(ltr, SUB_H)            # (SUB_H, 128) x2
                 gs_acc = jnp.zeros((1, TILE_W), jnp.float32)
                 gt_acc = jnp.zeros((1, TILE_W), jnp.float32)
                 for c in range(C):
                     g = g_refs[c][r:r + 1, cols]            # (1, 128)
                     sub = tex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
-                    # texture gradient: gsub = (wy * g) @ wx^T, accumulated
-                    # straight into the resident gradient plane
-                    gsub = jax.lax.dot_general(
-                        wy * g, wx,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=PRECISION)
+                    wg = wy * g                             # (SUB_H, 128)
+                    if onehot:
+                        # texel gradients: contributions to s0 and s0 + 1
+                        # use the same one-hot; the +1 column shift happens
+                        # on the RESULT (lane roll), not via a second plane
+                        g0 = jax.lax.dot_general(
+                            wg * (1.0 - fs), oh0, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=PRECISION)            # (SUB_H, PW)
+                        g1 = jax.lax.dot_general(
+                            wg * fs, oh0, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=PRECISION)
+                        gsub = g0 + _roll_lanes(g1, 1)
+                    else:
+                        # gsub = (wy * g) @ wx^T
+                        gsub = jax.lax.dot_general(
+                            wg, wx,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=PRECISION)
                     cur = gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
                     gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)] = (
                         cur + gsub)
-                    # coordinate gradients (kernel is VPU-bound: two
-                    # matmuls beat materializing a [wx|dwx] concat)
-                    b = jnp.dot(sub, wx,
-                                preferred_element_type=jnp.float32,
-                                precision=PRECISION)        # (SUB_H, 128)
-                    b2 = jnp.dot(sub, dwx,
-                                 preferred_element_type=jnp.float32,
-                                 precision=PRECISION)
+                    # coordinate gradients
+                    if onehot:
+                        A0, A1 = _sel2(sub, oh0)
+                        b = (1.0 - fs) * A0 + fs * A1       # == sub @ wx
+                        b2 = live_x * (A1 - A0)             # == sub @ dwx
+                    else:
+                        b = jnp.dot(sub, wx,
+                                    preferred_element_type=jnp.float32,
+                                    precision=PRECISION)    # (SUB_H, 128)
+                        b2 = jnp.dot(sub, dwx,
+                                     preferred_element_type=jnp.float32,
+                                     precision=PRECISION)
                     gs_acc += jnp.sum(wy * b2, axis=0, keepdims=True) * g
                     gt_acc += jnp.sum(dwy * b, axis=0, keepdims=True) * g
                 gs_rows.append(gs_acc)
