@@ -525,6 +525,17 @@ def _aa_planes_vjp_fwd(colour_planes, idbuf, payload, h, w, interpret):
 
 def _aa_planes_vjp_bwd(h, w, interpret, res, g):
     packed, C, ph, pw, n_payload = res
+    return aa_planes_bwd_from_packed(packed, g, h, w, C, ph, pw,
+                                     n_payload, interpret)
+
+
+def aa_planes_bwd_from_packed(packed, g, h, w, C, ph, pw, n_payload,
+                              interpret):
+    """(gcolour planes, None, gpayload) from the packed residual and the
+    (C, ph, pw) output cotangent — the planes backward, reusable by the
+    raster-fused antialias custom VJP (whose forward evaluates boundary
+    pairs at the right/bottom tile; the pair function is symmetric, so
+    this left/top-anchored backward reconstructs identical totals)."""
     ph2, pw2 = packed.shape[1], packed.shape[2]
     gy, gx = ph2 // TILE_H, pw2 // TILE_W
     P = _C0 + C

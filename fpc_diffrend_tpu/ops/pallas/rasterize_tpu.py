@@ -744,7 +744,7 @@ def _sched_dma(sched_col_ref, sorted_hbm, chunk_vmem, dma_sem, k):
 
 
 def _fused_kernel(gx: int, gy: int, mt: int, gbase: int, n_chan: int,
-                  tex_geom, *refs):
+                  tex_geom, aa_geom, *refs):
     """Two-phase fused rasterization.
 
     Phase A streams the tile's bin and resolves only (depth, winning
@@ -770,14 +770,25 @@ def _fused_kernel(gx: int, gy: int, mt: int, gbase: int, n_chan: int,
     coordinate extrema). Extra refs: bg scalar-prefetch, tex HBM input,
     n_chan colour outputs, resident-texture scratch + its DMA semaphore.
     """
+    aa = aa_geom is not None
+    aa_refs = aah_ref = aav_ref = hA = vA = None
     if n_chan:
         (bin_start_ref, n_global_ref, gblk_ty_ref, sched_start_ref,
          sched_col_ref, bg_ref, sorted_hbm, global_hbm, tex_hbm,
          id_out_ref, entry_out_ref, payload_out_ref, extra_out_ref,
          *rest) = refs
         colour_refs = rest[:n_chan]
+        rest = rest[n_chan:]
+        if aa:
+            aa_refs = rest[:n_chan]
+            aah_ref, aav_ref = rest[n_chan], rest[n_chan + 1]
+            rest = rest[n_chan + 2:]
         (chunk_vmem, global_vmem, acc, slots, fvm, bbuf_vmem, tex_vmem,
-         dma_sem, bsem, global_sem, tex_sem) = rest[n_chan:]
+         *rest) = rest
+        if aa:
+            hA, vA = rest[0], rest[1]
+            rest = rest[2:]
+        dma_sem, bsem, global_sem, tex_sem = rest
     else:
         (bin_start_ref, n_global_ref, gblk_ty_ref, sched_start_ref,
          sched_col_ref, sorted_hbm, global_hbm,
@@ -839,7 +850,7 @@ def _fused_kernel(gx: int, gy: int, mt: int, gbase: int, n_chan: int,
 
         # fast path: empty tile — constant outputs, skip both phases
         @pl.when(jnp.logical_not(work))
-        def _(cols=cols):
+        def _(cols=cols, tj=tj):
             id_out_ref[:, cols] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
             entry_out_ref[:, cols] = jnp.full((TILE_H, TILE_W), -1.0)
             for i in range(N_PAYLOAD):
@@ -851,6 +862,10 @@ def _fused_kernel(gx: int, gy: int, mt: int, gbase: int, n_chan: int,
             for c in range(n_chan):
                 colour_refs[c][:, cols] = jnp.full((TILE_H, TILE_W),
                                                    bg_ref[c])
+            if aa:
+                _aa_empty_tile(ti, tj, cols, aa_geom[0], aa_geom[1],
+                               n_chan, bg_ref, aa_refs, aah_ref, aav_ref,
+                               hA, vA)
 
         @pl.when(work)
         def _do_tile(cols=cols, tj=tj, start=start, end=end, count=count,
@@ -861,7 +876,8 @@ def _fused_kernel(gx: int, gy: int, mt: int, gbase: int, n_chan: int,
                              id_out_ref, entry_out_ref, payload_out_ref,
                              extra_out_ref, chunk_vmem, global_vmem, acc,
                              slots, fvm, bbuf_vmem, dma_sem, bsem,
-                             n_chan, tex_geom, tex_vmem, colour_refs)
+                             n_chan, tex_geom, tex_vmem, colour_refs,
+                             aa_refs, aah_ref, aav_ref, hA, vA, aa_geom)
 
 
 def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
@@ -870,7 +886,8 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
                      extra_out_ref, chunk_vmem, global_vmem, acc, slots,
                      fvm, bbuf_vmem, dma_sem, bsem,
                      n_chan=0, tex_geom=None, tex_vmem=None,
-                     colour_refs=()):
+                     colour_refs=(), aa_refs=None, aah_ref=None,
+                     aav_ref=None, hA=None, vA=None, aa_geom=None):
     """Both kernel phases + payload resolve for one non-empty tile
     (``cols`` = this sub-tile's lane slice of the program's block)."""
     # x along lanes (shared by all tile rows).
@@ -1038,25 +1055,33 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
         ext_rows[7].append(dv12)
         tid_rows.append(f(12))
 
+    pay_planes = []
     for i in range(N_PAYLOAD):
         if i == 2:
-            payload_out_ref[i, :, cols] = jnp.where(hit, accz, 0.0)
+            pay_planes.append(jnp.where(hit, accz, 0.0))
         else:
-            payload_out_ref[i, :, cols] = jnp.concatenate(pay_rows[i],
-                                                          axis=0)
+            pay_planes.append(jnp.concatenate(pay_rows[i], axis=0))
+        payload_out_ref[i, :, cols] = pay_planes[i]
     for i in range(N_EXTRA):
         extra_out_ref[i, :, cols] = jnp.concatenate(ext_rows[i], axis=0)
     tidp = jnp.concatenate(tid_rows, axis=0)
-    id_out_ref[:, cols] = jnp.where(hit, tidp, -1.0).astype(jnp.int32)
+    idp_f = jnp.where(hit, tidp, -1.0)
+    id_out_ref[:, cols] = idp_f.astype(jnp.int32)
     entry_out_ref[:, cols] = jnp.where(hit, acci, -1.0)
 
     if n_chan:
-        _sample_tile(n_chan, tex_geom, tex_vmem, colour_refs, cols,
-                     pay_rows[3], pay_rows[4])
+        col_planes = _sample_tile(n_chan, tex_geom, tex_vmem, cols,
+                                  pay_rows[3], pay_rows[4])
+        for c in range(n_chan):
+            colour_refs[c][:, cols] = col_planes[c]
+        if aa_refs is not None:
+            planes = ([idp_f, pay_planes[2]] + pay_planes[5:11]
+                      + pay_planes[11:14] + col_planes)
+            _aa_tile(ti, tj, cols, aa_geom[0], aa_geom[1], planes, n_chan,
+                     aa_refs, aah_ref, aav_ref, hA, vA)
 
 
-def _sample_tile(n_chan, tex_geom, tex_vmem, colour_refs, cols,
-                 tu_rows, tv_rows):
+def _sample_tile(n_chan, tex_geom, tex_vmem, cols, tu_rows, tv_rows):
     """Fused-texture tail of the tile pass: bilinear wrap sampling of the
     resident texture at the tile's resolved uv — the same hat-matmul math
     as texture_tpu._fwd_kernel, with the patch/sub-patch origins derived
@@ -1113,8 +1138,187 @@ def _sample_tile(n_chan, tex_geom, tex_vmem, colour_refs, cols,
                 b = jnp.dot(subp, wx, preferred_element_type=jnp.float32,
                             precision=PRECISION)          # (SUB_H, 128)
             col_rows[c].append(jnp.sum(wy * b, axis=0, keepdims=True))
-    for c in range(n_chan):
-        colour_refs[c][:, cols] = jnp.concatenate(col_rows[c], axis=0)
+    return [jnp.concatenate(col_rows[c], axis=0) for c in range(n_chan)]
+
+
+# ----------------------------------------------------------------------------
+# Fused antialias tail (FPC_AA_FUSE)
+# ----------------------------------------------------------------------------
+#
+# With the texture fused into phase B, every plane the silhouette
+# antialias pass reads (id, z, screen corners, neighbor ids, colour) is
+# already resolved in registers at the end of the tile body — evaluating
+# the pair blend HERE removes the separate AA kernel's packed-plane
+# build and its 3x neighbor-block HBM reads from the forward entirely.
+# The separate kernel reads right/down neighbor blocks for the b-side of
+# boundary pairs; the fused tail instead anchors boundary pairs at the
+# RIGHT/BOTTOM tile, whose a-side (the previous tile's last column/row)
+# arrives through VMEM carries (the TPU grid is sequential row-major).
+# The a-side colour delta of a boundary pair belongs to the PREVIOUS
+# tile's already-written output, so it is routed to two small side
+# outputs (one lane per tile column / one row per tile row) that XLA
+# folds back into the image; the backward reuses the separate AA
+# backward kernel (the pair function is symmetric in its two sides, so
+# anchor choice does not change totals — see ops/rasterize.py).
+
+def _aa_lane_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+
+
+def _aa_centers(ti, tj):
+    x = (tj * TILE_W + _aa_lane_iota()).astype(jnp.float32) + 0.5
+    y = (ti * TILE_H
+         + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+         ).astype(jnp.float32) + 0.5
+    return x, y
+
+
+def _aa_tile(ti, tj, cols, height, width, planes, C,
+             aa_refs, aah_ref, aav_ref, hA, vA):
+    """Antialias one tile's resolved planes; see the section comment.
+
+    :param planes: 11 + C lists of (TILE_H, TILE_W) planes in the packed
+        AA order [id, z, x0 y0 x1 y1 x2 y2, n0 n1 n2, colour...]
+        (antialias_tpu plane indices _ID/_Z/_V0/_N0/_C0).
+    :param aah_ref: (C, TILE_H, 128) side output block shared by the tile
+        row — lane j accumulates the a-side colour delta of the boundary
+        pair between tiles (i, j-1) and (i, j).
+    :param aav_ref: (C, TILE_H, bw) per-tile side block — row 0 carries
+        the a-side delta of the boundary pair with the tile above.
+    :param hA / vA: (NPL, TILE_H, 1) / (gx, NPL, 1, TILE_W) VMEM carries
+        of the previous tile's last column / previous row band's last
+        row (written by every tile, including empty ones).
+    """
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import _pair_delta
+
+    NPL = len(planes)
+    x, y = _aa_centers(ti, tj)
+    lane = _aa_lane_iota()
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    acc = [planes[11 + c] for c in range(C)]
+
+    # ---- horizontal: boundary pair with the left tile (carried a-side)
+    aL = [hA[k] for k in range(NPL)]                       # (TILE_H, 1)
+    bL = [p[:, :1] for p in planes]
+    xb = (tj * TILE_W).astype(jnp.float32)
+    yc = y[:, :1]
+    daL, dbL = _pair_delta(aL, bL, xb - 0.5, yc, xb + 0.5, yc, C)
+    gateL = (tj > 0) & (tj * TILE_W < width)
+
+    # ---- horizontal: interior pairs (last lane's pair belongs to the
+    # next tile — masked here, evaluated there via the carry)
+    b_h = [jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1) for p in planes]
+    m_h = ((x - 0.5) < width - 1) & (lane < TILE_W - 1)
+    da, db = _pair_delta(planes, b_h, x, y, x + 1.0, y, C)
+    for c in range(C):
+        dbm = jnp.where(m_h, db[c], 0.0)
+        fill = jnp.where(gateL, dbL[c], 0.0)
+        acc[c] = (acc[c] + jnp.where(m_h, da[c], 0.0)
+                  + jnp.concatenate([fill, dbm[:, :-1]], axis=1))
+
+    # a-side boundary delta -> side accumulator lane tj (zeroed at the
+    # start of each tile row; the block index is constant along the row)
+    oh_lane = (lane[:1, :] == tj).astype(jnp.float32)      # (1, TILE_W)
+
+    @pl.when(tj == 0)
+    def _():
+        for c in range(C):
+            aah_ref[c] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    for c in range(C):
+        aah_ref[c] = aah_ref[c] + jnp.where(gateL, daL[c], 0.0) * oh_lane
+
+    # ---- vertical: boundary pair with the tile above (carried a-side)
+    aT = [vA[tj, k] for k in range(NPL)]                   # (1, TILE_W)
+    bT = [p[:1, :] for p in planes]
+    yb = (ti * TILE_H).astype(jnp.float32)
+    xr = x[:1, :]
+    daT, dbT = _pair_delta(aT, bT, xr, yb - 0.5, xr, yb + 0.5, C)
+    gateT = (ti > 0) & (ti * TILE_H < height)
+
+    # ---- vertical: interior pairs
+    b_v = [jnp.concatenate([p[1:, :], p[-1:, :]], axis=0) for p in planes]
+    m_v = ((y - 0.5) < height - 1) & (row < TILE_H - 1)
+    da, db = _pair_delta(planes, b_v, x, y, x, y + 1.0, C)
+    zero7 = jnp.zeros((TILE_H - 1, TILE_W), jnp.float32)
+    for c in range(C):
+        dbm = jnp.where(m_v, db[c], 0.0)
+        fill = jnp.where(gateT, dbT[c], 0.0)
+        acc[c] = (acc[c] + jnp.where(m_v, da[c], 0.0)
+                  + jnp.concatenate([fill, dbm[:-1, :]], axis=0))
+        aa_refs[c][:, cols] = acc[c]
+        aav_ref[c, :, cols] = jnp.concatenate(
+            [jnp.where(gateT, daT[c], 0.0), zero7], axis=0)
+
+    # ---- carries for the right neighbor / the tile below
+    for k in range(NPL):
+        hA[k] = planes[k][:, -1:]
+        vA[tj, k] = planes[k][-1:, :]
+
+
+def _aa_empty_tile(ti, tj, cols, height, width, C, bg_ref,
+                   aa_refs, aah_ref, aav_ref, hA, vA):
+    """Fused-AA handling for the empty-tile fast path: the tile's own
+    planes are the background constants (id -1, z/corners/neighbors 0 —
+    exactly the payload zeros the fast path writes), so interior pairs
+    are identically zero and only the two boundary pairs + carries
+    remain."""
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import _pair_delta
+
+    NPL = 11 + C
+
+    def const_planes(shape):
+        p = [jnp.full(shape, -1.0)] + [jnp.zeros(shape, jnp.float32)
+                                       for _ in range(10)]
+        return p + [jnp.full(shape, bg_ref[c]) for c in range(C)]
+
+    lane = _aa_lane_iota()
+    y = (ti * TILE_H
+         + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+         ).astype(jnp.float32) + 0.5
+
+    # horizontal boundary (left tile covered, this side background)
+    aL = [hA[k] for k in range(NPL)]
+    bL = const_planes((TILE_H, 1))
+    xb = (tj * TILE_W).astype(jnp.float32)
+    yc = y[:, :1]
+    daL, dbL = _pair_delta(aL, bL, xb - 0.5, yc, xb + 0.5, yc, C)
+    gateL = (tj > 0) & (tj * TILE_W < width)
+
+    @pl.when(tj == 0)
+    def _():
+        for c in range(C):
+            aah_ref[c] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    oh_lane = (lane[:1, :] == tj).astype(jnp.float32)
+    for c in range(C):
+        aah_ref[c] = aah_ref[c] + jnp.where(gateL, daL[c], 0.0) * oh_lane
+
+    # vertical boundary
+    aT = [vA[tj, k] for k in range(NPL)]
+    bT = const_planes((1, TILE_W))
+    yb = (ti * TILE_H).astype(jnp.float32)
+    xr = (tj * TILE_W + lane[:1, :]).astype(jnp.float32) + 0.5
+    daT, dbT = _pair_delta(aT, bT, xr, yb - 0.5, xr, yb + 0.5, C)
+    gateT = (ti > 0) & (ti * TILE_H < height)
+
+    zero7 = jnp.zeros((TILE_H - 1, TILE_W), jnp.float32)
+    zcol = jnp.zeros((TILE_H, TILE_W - 1), jnp.float32)
+    for c in range(C):
+        fillL = jnp.where(gateL, dbL[c], 0.0)
+        fillT = jnp.where(gateT, dbT[c], 0.0)
+        aa_refs[c][:, cols] = (
+            jnp.full((TILE_H, TILE_W), bg_ref[c])
+            + jnp.concatenate([fillL, zcol], axis=1)
+            + jnp.concatenate([fillT, zero7], axis=0))
+        aav_ref[c, :, cols] = jnp.concatenate(
+            [jnp.where(gateT, daT[c], 0.0), zero7], axis=0)
+
+    colh = const_planes((TILE_H, 1))
+    colv = const_planes((1, TILE_W))
+    for k in range(NPL):
+        hA[k] = colh[k]
+        vA[tj, k] = colv[k]
 
 
 # ----------------------------------------------------------------------------
@@ -1142,7 +1346,8 @@ def bin_scene(pos_clip: Array, faces: Array, height: int, width: int,
 
 def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
                               interpret: bool = False,
-                              padded: bool = False, tex: Array | None = None):
+                              padded: bool = False, tex: Array | None = None,
+                              aa: bool = False):
     """(idbuf (H, W) i32, payload (N_PAYLOAD, H, W) f32, entry (H, W) f32,
     extra (N_EXTRA, H, W) f32) from precomputed bins — one kernel pass, no
     per-pixel gathers. Payload planes: [u, v, z, tu, tv, x0, y0, x1, y1,
@@ -1193,6 +1398,31 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
         tex_scratch = [pltpu.VMEM((n_chan, he, we), jnp.float32)]
         compiler_params = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
+    aa_geom = None
+    if aa:
+        if tex is None:
+            raise ValueError("aa=True requires the fused texture path")
+        aa_geom = (height, width)
+        NPL = 11 + n_chan
+        # aa planes (per channel) + the two boundary side outputs: lane j
+        # of aah row-band i = a-side delta of the (i, j-1)|(i, j) pair;
+        # row 0 of each aav 8-row band = a-side delta of the pair with
+        # the tile above (band shifted down by one tile row).
+        tex_out_specs += (
+            [pl.BlockSpec((TILE_H, bw), lambda i, j, *_: (i, j))
+             for _ in range(n_chan)]
+            + [pl.BlockSpec((n_chan, TILE_H, TILE_W),
+                            lambda i, j, *_: (0, i, 0)),
+               pl.BlockSpec((n_chan, TILE_H, bw),
+                            lambda i, j, *_: (0, i, j))])
+        tex_out_shapes += (
+            [jax.ShapeDtypeStruct((ph, pw), jnp.float32)
+             for _ in range(n_chan)]
+            + [jax.ShapeDtypeStruct((n_chan, ph, TILE_W), jnp.float32),
+               jax.ShapeDtypeStruct((n_chan, ph, pw), jnp.float32)])
+        tex_scratch += [pltpu.VMEM((NPL, TILE_H, 1), jnp.float32),
+                        pltpu.VMEM((gx, NPL, 1, TILE_W), jnp.float32)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(gy, pgx),
@@ -1229,7 +1459,7 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
         kwargs["compiler_params"] = compiler_params
     outs = pl.pallas_call(
         functools.partial(_fused_kernel, gx, gy, mt, gbase, n_chan,
-                          tex_geom),
+                          tex_geom, aa_geom),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
@@ -1241,8 +1471,13 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
         **kwargs,
     )(*prefetch, bins.sorted_rec_t, bins.global_rec_t, *tex_args)
     idbuf, entry, payload, extra = outs[:4]
-    colour = tuple(outs[4:])
+    colour = tuple(outs[4:4 + n_chan])
 
+    if aa:
+        aa_planes = tuple(outs[4 + n_chan:4 + 2 * n_chan])
+        side_h, side_v = outs[4 + 2 * n_chan], outs[5 + 2 * n_chan]
+        return (idbuf, payload, entry, extra, colour,
+                _fold_aa_sides(aa_planes, side_h, side_v, n_chan))
     if padded:
         # Padded planes avoid a slice -> re-pad HBM roundtrip when the
         # consumer is the gradient kernel (which wants (ph, pw) anyway).
@@ -1255,6 +1490,29 @@ def fused_rasterize_from_bins(bins: "Bins", height: int, width: int,
                 tuple(c[:height, :width] for c in colour))
     return (idbuf[:height, :width], payload[:, :height, :width],
             entry[:height, :width], extra[:, :height, :width])
+
+
+def _fold_aa_sides(aa_planes, side_h, side_v, n_chan):
+    """Fold the boundary a-side deltas back into the padded aa planes.
+
+    ``side_h`` (C, ph, 128): lane j of row band i = delta for the LAST
+    column of tile (i, j - 1). ``side_v`` (C, ph, pw): row 0 of each
+    8-row band i = delta for the last pixel row of tile row i - 1.
+    """
+    ph = aa_planes[0].shape[0]
+    pw = aa_planes[0].shape[1]
+    gy, gx = ph // TILE_H, pw // TILE_W
+    out = []
+    for c in range(n_chan):
+        a4 = aa_planes[c].reshape(gy, TILE_H, gx, TILE_W)
+        # horizontal: lanes 1..gx of side_h -> last column of tiles 0..gx-1
+        sh = side_h[c].reshape(gy, TILE_H, TILE_W)[:, :, 1:gx]
+        a4 = a4.at[:, :, :gx - 1, TILE_W - 1].add(sh)
+        # vertical: band i row 0 -> tile row i-1 last pixel row
+        sv = side_v[c].reshape(gy, TILE_H, pw)[1:, 0, :]
+        a4 = a4.reshape(gy, TILE_H, pw).at[:gy - 1, TILE_H - 1, :].add(sv)
+        out.append(a4.reshape(ph, pw))
+    return tuple(out)
 
 
 def visibility_from_bins(bins: "Bins", height: int, width: int,

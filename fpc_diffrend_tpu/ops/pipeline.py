@@ -145,6 +145,19 @@ def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
                 _rasterize_pallas_padded, _rasterize_pallas_textured)
 
             height, width = resolution
+            if (os.environ.get("FPC_AA_FUSE", "0") == "1"
+                    and os.environ.get("FPC_FUSE_TEX", "1") != "0"):
+                # rasterize + texture + ANTIALIAS in one kernel pass; the
+                # separate AA kernel (packed-plane build + 3x neighbor
+                # reads) disappears from the forward
+                from fpc_diffrend_tpu.ops.rasterize import (
+                    _rasterize_pallas_textured_aa)
+
+                idbuf_p, aa_p = _rasterize_pallas_textured_aa(
+                    pos_clip, pos_idx, uv, uv_idx, tex, face_neighbors,
+                    resolution, pair_cap)
+                img_p = jnp.where(idbuf_p >= 0, jnp.stack(aa_p), background)
+                return jnp.moveaxis(img_p[:, :height, :width], 0, -1)
             if os.environ.get("FPC_FUSE_TEX", "1") != "0":
                 # texture sampling fused into the raster kernel's dense
                 # phase-B pass (one kernel, no texc roundtrip)

@@ -412,6 +412,82 @@ rasterize_texture_fused.defvjp(_rasterize_texture_fused_fwd,
                                _rasterize_texture_fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def rasterize_texture_aa_fused(data, aux, tex, bins, height: int,
+                               width: int, interpret: bool,
+                               pair_cap: int | None = None):
+    """Rasterize + interpolate + texture + ANTIALIAS in one Pallas pass.
+
+    Extends :func:`rasterize_texture_fused` with the silhouette antialias
+    blend evaluated inside the same kernel (FPC_AA_FUSE): boundary pairs
+    ride VMEM carries and two small side outputs, folded back XLA-side —
+    the packed-plane build and 3x neighbor reads of the separate AA
+    kernel (reference fit.py:160 / Laine et al. §3.4) vanish from the
+    forward. Returns (idbuf_p, payload_p, colour_planes (pre-AA),
+    aa_planes) — all padded plane-major.
+
+    The backward reuses the separate AA backward kernel on planes
+    repacked from the residuals: the pair blend is symmetric in its two
+    sides, so the left/top-anchored backward reconstructs exactly the
+    gradients of the right/bottom-anchored forward.
+    """
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        fused_rasterize_from_bins)
+
+    idbuf, payload, _entry, _extra, colour, aa = fused_rasterize_from_bins(
+        bins, height, width, interpret, padded=True, tex=tex, aa=True)
+    return idbuf, payload, colour, aa
+
+
+def _rasterize_texture_aa_fused_fwd(data, aux, tex, bins, height, width,
+                                    interpret, pair_cap=None):
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        fused_rasterize_from_bins)
+
+    idbuf, payload, entry, extra, colour, aa = fused_rasterize_from_bins(
+        bins, height, width, interpret, padded=True, tex=tex, aa=True)
+    res = (entry, payload[0], payload[1], extra, bins, data.shape[0],
+           tex, payload[3], payload[4], idbuf, payload, colour)
+    return (idbuf, payload, colour, aa), res
+
+
+def _rasterize_texture_aa_fused_bwd(height, width, interpret, pair_cap,
+                                    res, cts):
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
+        _pack_planes, aa_planes_bwd_from_packed)
+    from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+        texture_planes_bwd_impl)
+
+    (entry, u, v, extra, bins, n_tris, tex, tu, tv, idbuf, payload,
+     colour) = res
+    _gid, gpayload, gcolour, gaa = cts
+    ph, pw = idbuf.shape
+
+    # Antialias backward: the kernel-output cotangent equals the full
+    # aa-image cotangent (the XLA side-delta folds are identity adds), so
+    # the separate left/top-anchored AA backward over repacked planes
+    # yields the exact pair gradients.
+    packed = _pack_planes(colour, idbuf, payload)
+    gcol_aa, _, gpay_aa = aa_planes_bwd_from_packed(
+        packed, jnp.stack(gaa), height, width, len(colour), ph, pw,
+        payload.shape[0], interpret)
+    gpayload = gpayload + gpay_aa
+    gcolour = tuple(gc + ga for gc, ga in zip(gcolour, gcol_aa))
+
+    gtex, gtu, gtv = texture_planes_bwd_impl(
+        tex, tu, tv, height, width, "wrap", interpret, gcolour)
+    gpayload = gpayload.at[3].add(gtu).at[4].add(gtv)
+    grad_data, grad_aux = pixel_grad_pallas(
+        bins, entry, u, v, extra, gpayload, n_tris, height, width,
+        pair_cap=pair_cap, interpret=interpret)
+    return (grad_data, grad_aux, gtex, jax.tree.map(_zero_ct, bins))
+
+
+rasterize_texture_aa_fused.defvjp(_rasterize_texture_aa_fused_fwd,
+                                  _rasterize_texture_aa_fused_bwd)
+
+
 def _rasterize_pallas_textured(pos_clip: Array, faces: Array, uv, uv_idx,
                                tex, face_neighbors, resolution,
                                pair_cap: int | None = None,
@@ -434,6 +510,31 @@ def _rasterize_pallas_textured(pos_clip: Array, faces: Array, uv, uv_idx,
     bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
     return rasterize_texture_fused(data, aux, tex, bins_sg, height, width,
                                    interpret, pair_cap)
+
+
+def _rasterize_pallas_textured_aa(pos_clip: Array, faces: Array, uv, uv_idx,
+                                  tex, face_neighbors, resolution,
+                                  pair_cap: int | None = None,
+                                  interpret: bool = False):
+    """Binning + the fused rasterize+texture+antialias pass (FPC_AA_FUSE).
+
+    :return: (idbuf_p (ph, pw) i32, aa_planes tuple of C (ph, pw) —
+              antialiased, pre-background-composite)
+    """
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        aux_records, bin_scene)
+
+    height, width = resolution
+    faces = faces.astype(jnp.int32)
+    aux = aux_records(uv, uv_idx.astype(jnp.int32), pos_clip, faces,
+                      face_neighbors, height, width)
+    data, bins = bin_scene(pos_clip, faces, height, width,
+                           aux=jax.lax.stop_gradient(aux),
+                           entry_cap=pair_cap)
+    bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
+    idbuf, _payload, _colour, aa = rasterize_texture_aa_fused(
+        data, aux, tex, bins_sg, height, width, interpret, pair_cap)
+    return idbuf, aa
 
 
 def _rasterize_pallas_padded(pos_clip: Array, faces: Array, uv, uv_idx,

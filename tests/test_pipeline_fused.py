@@ -142,3 +142,38 @@ def test_fused_texture_matches_separate_kernels(rng, monkeypatch):
                                atol=1e-7, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_fused_aa_matches_separate_kernel(rng, monkeypatch):
+    """FPC_AA_FUSE=1 (antialias evaluated inside the raster kernel, with
+    boundary pairs re-anchored at the right/bottom tile and a-side
+    deltas folded back XLA-side) must match the separate AA kernel to
+    float-add reassociation (the boundary a-side delta is added in a
+    different order), in value and in all gradients."""
+    mvp, verts, faces, uv, uv_idx, neigh = scene(rng)
+    tex = jnp.asarray(rng.uniform(size=(64, 128, 1)).astype(np.float32))
+    res = (48, 128)
+    ref = jnp.asarray(rng.uniform(size=res + (1,)).astype(np.float32))
+
+    def loss(v, t):
+        img = render(mvp, v, faces, uv, uv_idx, t, res, neigh,
+                     impl="pallas")
+        return jnp.mean((ref - img) ** 2), img
+
+    with pallas_interpret_mode():
+        monkeypatch.setenv("FPC_AA_FUSE", "0")
+        (l0, img0), (gv0, gt0) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(verts, tex)
+        jax.clear_caches()
+        monkeypatch.setenv("FPC_AA_FUSE", "1")
+        (l1, img1), (gv1, gt1) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(verts, tex)
+        jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt0),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
+                               atol=1e-6, rtol=1e-5)
