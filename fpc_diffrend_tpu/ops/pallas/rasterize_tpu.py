@@ -529,12 +529,14 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
     sorted_rec_t = sorted_rec.T  # (REC, P)
 
     # Global list: valid triangles too large for the window (fixed
-    # MAX_GLOBAL rows; unused rows are zero).
+    # MAX_GLOBAL rows; unused rows are zero). Ascending compaction via
+    # prefix-count + one unique scatter — a full T-key sort here cost
+    # more than the rest of the global-list build combined.
     big = valid & ~fits
-    big_idx = jnp.where(big, jnp.arange(T, dtype=jnp.int32), T)
-    big_idx = jnp.concatenate(
-        [big_idx, jnp.full((MAX_GLOBAL,), T, jnp.int32)])
-    big_idx = jnp.sort(big_idx)[:MAX_GLOBAL]
+    rank = jnp.cumsum(big.astype(jnp.int32)) - 1
+    pos = jnp.where(big, rank, MAX_GLOBAL)
+    big_idx = jnp.full((MAX_GLOBAL,), T, jnp.int32).at[pos].set(
+        jnp.arange(T, dtype=jnp.int32), mode="drop", unique_indices=True)
     n_global = jnp.sum(big).astype(jnp.int32)
     n_global = jnp.minimum(n_global, MAX_GLOBAL)
     safe_big = jnp.minimum(big_idx, T - 1)
