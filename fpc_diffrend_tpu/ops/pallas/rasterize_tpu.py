@@ -529,14 +529,25 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
     sorted_rec_t = sorted_rec.T  # (REC, P)
 
     # Global list: valid triangles too large for the window (fixed
-    # MAX_GLOBAL rows; unused rows are zero). Ascending compaction via
-    # prefix-count + one unique scatter — a full T-key sort here cost
-    # more than the rest of the global-list build combined.
+    # MAX_GLOBAL rows; unused rows are zero). FPC_GLOBAL_IMPL=scatter
+    # replaces the T-key sort with a prefix-count + one unique scatter —
+    # cheaper at runtime, but OPT-IN: the first baseline bench compiled
+    # after making it the default stalled the remote attach inside the
+    # binning compile unit (2026-08-20), and a fresh scatter shape is the
+    # prime suspect (platform notes: XLA scatter remote-compiles are
+    # slow and uncached across processes).
     big = valid & ~fits
-    rank = jnp.cumsum(big.astype(jnp.int32)) - 1
-    pos = jnp.where(big, rank, MAX_GLOBAL)
-    big_idx = jnp.full((MAX_GLOBAL,), T, jnp.int32).at[pos].set(
-        jnp.arange(T, dtype=jnp.int32), mode="drop", unique_indices=True)
+    if os.environ.get("FPC_GLOBAL_IMPL", "sort") == "scatter":
+        rank = jnp.cumsum(big.astype(jnp.int32)) - 1
+        pos = jnp.where(big, rank, MAX_GLOBAL)
+        big_idx = jnp.full((MAX_GLOBAL,), T, jnp.int32).at[pos].set(
+            jnp.arange(T, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+    else:
+        big_idx = jnp.where(big, jnp.arange(T, dtype=jnp.int32), T)
+        big_idx = jnp.concatenate(
+            [big_idx, jnp.full((MAX_GLOBAL,), T, jnp.int32)])
+        big_idx = jnp.sort(big_idx)[:MAX_GLOBAL]
     n_global = jnp.sum(big).astype(jnp.int32)
     n_global = jnp.minimum(n_global, MAX_GLOBAL)
     safe_big = jnp.minimum(big_idx, T - 1)
@@ -628,21 +639,34 @@ _BIG = 3.0e38
 N_EXTRA = 8               # D iw0 iw1 iw2 du02 du12 dv02 dv12
 
 
-def _phasea_block(at, rec_base, lo, hi, ti, x_row, slots):
-    """Phase-A inner loop for one (SUB, REC) record block: merge coverage
-    + depth candidates into the per-sublane winner slots.
+# Phase-A inner-loop implementation (FPC_PHASEA):
+#   argmin — per-block cross-sublane argmin + strict-less merge into the
+#            (2, TILE_H, TILE_W) winner planes (round-3-proven default).
+#   slots  — per-sublane winner slots in VMEM, one cross-slot reduction
+#            per tile (~6 fewer vector ops per block row); identical
+#            winners (see _phasea_block). Opt-in until chip-validated:
+#            kernel-structure changes risk the remote-compile stall class.
+_PHASEA = os.environ.get("FPC_PHASEA", "argmin")
 
-    ``slots`` is the (2, TILE_H, SUB, TILE_W) VMEM accumulator: slot s of
-    row g holds the best (z, bin-entry index) among the records this tile
-    has streamed through sublane s (entry index exact in f32 below 2^24).
-    Keeping winners PER SUBLANE SLOT removes the two cross-sublane
-    reductions + strict-less merge the old per-block argmin paid per row
-    per block (~6 vector ops); one reduction per tile row at the end of
-    phase A (:func:`_phasea_finish`) recovers the exact same winner: the
-    globally-lowest entry index with minimal z always survives in its
-    slot, because same-slot updates are strict-less (earlier = lower
-    index wins ties) and cross-slot ties are broken by the final
-    lowest-index-among-minimal-z reduction.
+
+def _phasea_block(at, rec_base, lo, hi, ti, x_row, slots, acc):
+    """Phase-A inner loop for one (SUB, REC) record block.
+
+    In ``slots`` mode, ``slots`` is the (2, TILE_H, SUB, TILE_W) VMEM
+    accumulator: slot s of row g holds the best (z, bin-entry index)
+    among the records this tile has streamed through sublane s (entry
+    index exact in f32 below 2^24). Keeping winners PER SUBLANE SLOT
+    removes the two cross-sublane reductions + strict-less merge the
+    argmin mode pays per row per block (~6 vector ops); one reduction
+    per tile row at the end of phase A (:func:`_phasea_finish`) recovers
+    the exact same winner: the globally-lowest entry index with minimal
+    z always survives in its slot, because same-slot updates are
+    strict-less (earlier = lower index wins ties) and cross-slot ties
+    are broken by the final lowest-index-among-minimal-z reduction.
+
+    In ``argmin`` mode the block's candidates are reduced across
+    sublanes per row (tie-break: lowest entry index) and strict-less
+    merged into the (2, TILE_H, TILE_W) ``acc`` winner planes.
 
     Op-count choices (the kernel is VPU-issue bound): the live-range
     ``active`` mask folds into one c-coefficient bias instead of a
@@ -678,19 +702,34 @@ def _phasea_block(at, rec_base, lo, hi, ti, x_row, slots):
     l2 = a2 * x_row + (b2 * y0 + c2)
     z = zx * x_row + (zy * y0 + zc)
 
+    z_rows, i_rows = [], []
     for g in range(TILE_H):
         covered = ((jnp.minimum(jnp.minimum(l0, l1), l2) >= 0.0)
                    & (z >= -1.0) & (z <= 1.0))
         zm = jnp.where(covered, z, _BIG)
-        prev = slots[0, g]                                 # (SUB, 128)
-        better = zm < prev
-        slots[1, g] = jnp.where(better, rec_f, slots[1, g])
-        slots[0, g] = jnp.where(better, zm, prev)
+        if _PHASEA == "slots":
+            prev = slots[0, g]                             # (SUB, 128)
+            better = zm < prev
+            slots[1, g] = jnp.where(better, rec_f, slots[1, g])
+            slots[0, g] = jnp.where(better, zm, prev)
+        else:
+            zmin = jnp.min(zm, axis=0, keepdims=True)      # (1, 128)
+            # tie-break: lowest entry index == lowest triangle id
+            im = jnp.where(zm <= zmin, rec_f, _BIG)
+            z_rows.append(zmin)
+            i_rows.append(jnp.min(im, axis=0, keepdims=True))
         if g + 1 < TILE_H:
             l0 = l0 + b0
             l1 = l1 + b1
             l2 = l2 + b2
             z = z + zy
+    if _PHASEA != "slots":
+        # strict-less z merge into the winner planes
+        z_new = jnp.concatenate(z_rows, axis=0)            # (8, 128)
+        i_new = jnp.concatenate(i_rows, axis=0)
+        better = z_new < acc[0]
+        acc[0] = jnp.where(better, z_new, acc[0])
+        acc[1] = jnp.where(better, i_new, acc[1])
 
 
 def _phasea_finish(slots, acc):
@@ -897,9 +936,14 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
              + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
              ).astype(jnp.float32) + 0.5                       # (1, 128)
 
-    # init the per-sublane winner slots: z = BIG, entry idx = BIG (the
-    # final reduction and the downstream hit mask both treat BIG as miss)
-    slots[...] = jnp.full((2, TILE_H, SUB, TILE_W), _BIG)
+    if _PHASEA == "slots":
+        # init the per-sublane winner slots: z = BIG, entry idx = BIG
+        # (final reduction and downstream hit mask treat BIG as miss)
+        slots[...] = jnp.full((2, TILE_H, SUB, TILE_W), _BIG)
+    else:
+        # init winner planes: z = BIG, entry idx = -1 (matches nothing)
+        acc[0] = jnp.full((TILE_H, TILE_W), _BIG)
+        acc[1] = jnp.full((TILE_H, TILE_W), -1.0)
 
     first_chunk = start // CHUNK
     n_chunks = jnp.where(count > 0,
@@ -918,7 +962,8 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
             @pl.when((sub_base < end) & (sub_base + SUB > start))
             def _():
                 at = at_full[sb * SUB:(sb + 1) * SUB, :]
-                _phasea_block(at, sub_base, start, end, ti, x_row, slots)
+                _phasea_block(at, sub_base, start, end, ti, x_row, slots,
+                              acc)
 
         @pl.when(k + 2 < n_sched)
         def _():
@@ -941,9 +986,10 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
             for sb in range(CHUNK // SUB):
                 _phasea_block(at[sb * SUB:(sb + 1) * SUB, :],
                               gbase + gb * CHUNK + sb * SUB, gbase,
-                              gbase + n_global, ti, x_row, slots)
+                              gbase + n_global, ti, x_row, slots, acc)
 
-    _phasea_finish(slots, acc)
+    if _PHASEA == "slots":
+        _phasea_finish(slots, acc)
     acci = acc[1]                                          # (8, 128)
 
     # ---- phase B: gather the winner's record per pixel (MXU one-hot) ----

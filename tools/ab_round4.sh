@@ -1,23 +1,34 @@
 #!/bin/bash
-# Round-4 on-chip A/B queue. Runs each candidate config of bench.py in
-# its own subprocess with a timeout, SAFEST FIRST, appending one line per
-# config to results/ab_round4.log. Stops at the first timeout: a stalled
-# remote compile wedges the single-chip attach for everything after it.
+# Round-4 on-chip A/B queue. Waits for the TPU attach to heal, then
+# benches candidate configs SAFEST FIRST, each in its own subprocess
+# with a timeout, appending results to results/ab_round4.log. Stops at
+# the first timeout: a stalled remote compile wedges the single-chip
+# attach for hours.
 #
-# Usage: bash tools/ab_round4.sh [quick]
+# Usage: bash tools/ab_round4.sh
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p results
 LOG=results/ab_round4.log
 echo "=== ab_round4 $(date -u +%FT%TZ) ===" >> "$LOG"
 
+# wait (up to ~5h) for the attach to answer a tiny op
+for i in $(seq 1 60); do
+  if timeout 90 python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.arange(4.0))))" >/dev/null 2>&1; then
+    echo "attach healthy after probe $i" | tee -a "$LOG"
+    break
+  fi
+  if [ "$i" = 60 ]; then echo "attach never healed" | tee -a "$LOG"; exit 1; fi
+  sleep 300
+done
+
 run() {
   local name="$1"; shift
-  echo "--- $name ($*)" | tee -a "$LOG"
+  echo "--- $name ($*) $(date -u +%H:%M:%SZ)" | tee -a "$LOG"
   local out
   out=$(env "$@" timeout 600 python bench.py 2>&1)
   local rc=$?
-  echo "$out" | grep -E '^\{|^# step' >> "$LOG"
+  echo "$out" | grep -E '^\{|^# step|autotune' >> "$LOG"
   echo "$out" | tail -2
   if [ $rc -eq 124 ] || [ $rc -eq 143 ]; then
     echo "!!! $name TIMED OUT (stall class) — aborting queue" | tee -a "$LOG"
@@ -28,16 +39,15 @@ run() {
   fi
 }
 
-# 1. committed defaults (phase-A slot accumulators, dynamic mip loop)
+# 1. defaults — round-3-proven kernel structure (phase-A argmin,
+#    global-list sort, hat texture, separate AA)
 run baseline FPC_DUMMY=0
-# 2. one-hot texture X-selection (fwd fused sampler + bwd)
+# 2. one candidate at a time, least exotic first
+run phasea-slots FPC_PHASEA=slots
 run tex-onehot FPC_TEX_IMPL=onehot
-# 3. fused antialias (+ onehot texture)
-run aa-fuse FPC_AA_FUSE=1 FPC_TEX_IMPL=onehot
-# 4. improved Pallas counting-rank binning
+run aa-fuse FPC_AA_FUSE=1
 run bin-pallas FPC_BIN_IMPL=pallas
-# 5. best-guess combination
-run combo FPC_TEX_IMPL=onehot FPC_AA_FUSE=1 FPC_BIN_IMPL=pallas
-# 6. riskier: 16-row placement programs (compile-size probe)
-run bin-pallas-16 FPC_BIN_IMPL=pallas FPC_PLACE_ROWS=16
+run global-scatter FPC_GLOBAL_IMPL=scatter
+# 3. combination of whatever got this far (inspect log before trusting)
+run combo FPC_PHASEA=slots FPC_TEX_IMPL=onehot FPC_AA_FUSE=1 FPC_BIN_IMPL=pallas
 echo "=== ab_round4 done ===" | tee -a "$LOG"
