@@ -198,6 +198,49 @@ def main():
             return jnp.sum(st) + jnp.sum(bs)
         return jnp.sum(jax.vmap(one)(pc))
 
+    # micro-rows: the Pallas gradient kernel + fold in isolation (its
+    # XLA glue was the round-2 ablation's largest bwd cost), and the
+    # banded fold alone on the real bin structure
+    from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import (
+        banded_fold, pixel_grad_pallas)
+
+    def raster_res(pc):
+        def one(pc1):
+            from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+                aux_records, bin_scene, fused_rasterize_from_bins)
+            aux = aux_records(scene.uv, scene.uv_idx.astype(jnp.int32), pc1,
+                              scene.faces, scene.face_neighbors, H, W)
+            data, bins = bin_scene(pc1, scene.faces, H, W, aux=aux,
+                                   entry_cap=cap)
+            idbuf, payload, entry, extra = fused_rasterize_from_bins(
+                bins, H, W, interp, padded=True)
+            return bins, entry, payload, extra
+        return jax.vmap(one)(pc)
+
+    binsb, entry_b, payl_b, extra_b = jax.block_until_ready(
+        jax.jit(raster_res)(pos_clip))
+    T = int(scene.faces.shape[0])
+    gcot = jnp.ones_like(payl_b)
+
+    @jax.jit
+    def t_gradkernel(binsq, entry, payl, extra, gpl):
+        def one(b, e, p, x, g):
+            gd, ga = pixel_grad_pallas(b, e, p[0], p[1], x, g, T, H, W,
+                                       pair_cap=cap, interpret=interp)
+            return jnp.sum(gd) + jnp.sum(ga)
+        return jnp.sum(jax.vmap(one)(binsq, entry, payl, extra, gpl))
+
+    @jax.jit
+    def t_fold(binsq):
+        def one(b):
+            P = b.sorted_rec_t.shape[1]
+            fake = jnp.ones((32, P), jnp.float32)
+            pcap = min(cap if cap else P, b.sorted_tri.shape[0])
+            out, ovf = banded_fold(fake, b.sorted_tri, b.bin_start[-1],
+                                   pcap, T, interp, reverse=True)
+            return jnp.sum(out) + ovf
+        return jnp.sum(jax.vmap(one)(binsq))
+
     import dataclasses as _dc
     cfg_nolap = _dc.replace(config, weight_laplacian=0.0)
 
@@ -224,6 +267,9 @@ def main():
     raster_fwd = run("raster+interp fwd", t_raster_fwd, pos_clip)
     binning = run("binning", t_bin, pos_clip)
     bin_sort = run("binning: key sort only", t_bin_sort, pos_clip)
+    run("grad kernel+fold (isolated)", t_gradkernel, binsb, entry_b,
+        payl_b, extra_b, gcot)
+    run("banded fold only", t_fold, binsb)
     tex_fb = run("texture fwd+bwd", t_tex_fb, tex0, payload_b)
     tex_fwd = run("texture fwd", t_tex_fwd, tex0, payload_b)
     aa_fb = run("antialias fwd+bwd", t_aa_fb, colour_b, idbuf_b, payload_b)
