@@ -161,6 +161,37 @@ def _wait_for_backend(max_wait_s: float = 600.0) -> None:
         delay = min(delay * 1.5, 60.0)
 
 
+def _supervised_main() -> bool:
+    """Run the benchmark in a subprocess with a timeout, retrying once.
+
+    The remote-compile service can stall a compile indefinitely (and a
+    killed compile can wedge the attach); running the real benchmark in
+    a child process lets this wrapper enforce a deadline and retry after
+    a cool-down instead of hanging the driver's round-end bench run.
+    Returns True when a child succeeded (its output already went to our
+    stdout/stderr).
+    """
+    import subprocess
+    import time as _time
+
+    env = dict(os.environ, FPC_BENCH_INNER="1")
+    for attempt in range(2):
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=1500)
+            if r.returncode == 0:
+                return True
+            print(f"# bench child failed rc={r.returncode} "
+                  f"(attempt {attempt + 1})", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# bench child timed out after 1500s "
+                  f"(attempt {attempt + 1}) — compile stall",
+                  file=sys.stderr, flush=True)
+        if attempt == 0:
+            _time.sleep(300)
+    return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -222,4 +253,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("FPC_BENCH_CPU") or os.environ.get("FPC_BENCH_INNER"):
+        main()
+    elif not _supervised_main():
+        sys.exit(1)

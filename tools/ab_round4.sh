@@ -26,7 +26,7 @@ run() {
   local name="$1"; shift
   echo "--- $name ($*) $(date -u +%H:%M:%SZ)" | tee -a "$LOG"
   local out
-  out=$(env "$@" timeout 600 python bench.py 2>&1)
+  out=$(env "$@" timeout 1200 python bench.py 2>&1)
   local rc=$?
   echo "$out" | grep -E '^\{|^# step|autotune' >> "$LOG"
   echo "$out" | tail -2
@@ -40,8 +40,26 @@ run() {
 }
 
 # 1. defaults — round-3-proven kernel structure (phase-A argmin,
-#    global-list sort, hat texture, separate AA)
-run baseline FPC_DUMMY=0
+#    global-list sort, hat texture, separate AA). The same graphs
+#    compiled in 64 s when the remote-compile service was healthy, so a
+#    timeout here means the SERVICE is degraded — retry patiently
+#    rather than abort (each attempt is a fresh process; nothing is
+#    cached across processes).
+ok=""
+for try in $(seq 1 8); do
+  echo "--- baseline try $try $(date -u +%H:%M:%SZ)" | tee -a "$LOG"
+  out=$(timeout 1200 python bench.py 2>&1)
+  rc=$?
+  echo "$out" | grep -E '^\{|^# step|autotune' >> "$LOG"
+  echo "$out" | tail -2
+  if [ $rc -eq 0 ]; then ok=1; break; fi
+  echo "baseline try $try rc=$rc; sleeping 600" | tee -a "$LOG"
+  sleep 600
+done
+if [ -z "$ok" ]; then
+  echo "baseline never completed — compile service down" | tee -a "$LOG"
+  exit 1
+fi
 # 2. one candidate at a time, least exotic first
 run phasea-slots FPC_PHASEA=slots
 run tex-onehot FPC_TEX_IMPL=onehot
