@@ -26,7 +26,7 @@ run() {
   local name="$1"; shift
   echo "--- $name ($*) $(date -u +%H:%M:%SZ)" | tee -a "$LOG"
   local out
-  out=$(env "$@" timeout 1200 python bench.py 2>&1)
+  out=$(env FPC_BENCH_INNER=1 "$@" timeout 1200 python bench.py 2>&1)
   local rc=$?
   echo "$out" | grep -E '^\{|^# step|autotune' >> "$LOG"
   echo "$out" | tail -2
@@ -48,7 +48,7 @@ run() {
 ok=""
 for try in $(seq 1 8); do
   echo "--- baseline try $try $(date -u +%H:%M:%SZ)" | tee -a "$LOG"
-  out=$(timeout 1200 python bench.py 2>&1)
+  out=$(FPC_BENCH_INNER=1 timeout 1200 python bench.py 2>&1)
   rc=$?
   echo "$out" | grep -E '^\{|^# step|autotune' >> "$LOG"
   echo "$out" | tail -2
