@@ -144,6 +144,29 @@ def test_fused_texture_matches_separate_kernels(rng, monkeypatch):
                                atol=1e-6, rtol=1e-5)
 
 
+def test_fused_aa_multichannel(rng, monkeypatch):
+    """The fused-AA kernel's per-channel loops (carries, side outputs,
+    boundary pairs) must reproduce the separate path for C=3 too."""
+    mvp, verts, faces, uv, uv_idx, neigh = scene(rng)
+    tex = jnp.asarray(rng.uniform(size=(32, 128, 3)).astype(np.float32))
+    res = (32, 128)
+
+    def img_of(v):
+        return render(mvp, v, faces, uv, uv_idx, tex, res, neigh,
+                      impl="pallas")
+
+    with pallas_interpret_mode():
+        monkeypatch.setenv("FPC_AA_FUSE", "0")
+        img0 = np.asarray(img_of(verts))
+        jax.clear_caches()
+        monkeypatch.setenv("FPC_AA_FUSE", "1")
+        img1 = np.asarray(img_of(verts))
+        jax.clear_caches()
+
+    assert img0.shape == res + (3,)
+    np.testing.assert_allclose(img1, img0, atol=1e-6)
+
+
 def test_fused_aa_matches_separate_kernel(rng, monkeypatch):
     """FPC_AA_FUSE=1 (antialias evaluated inside the raster kernel, with
     boundary pairs re-anchored at the right/bottom tile and a-side
