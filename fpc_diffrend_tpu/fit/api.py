@@ -74,7 +74,7 @@ def measure_raster_health(config: FitConfig, scene, params) -> dict:
     from fpc_diffrend_tpu.fit import loop as loop_mod
     from fpc_diffrend_tpu.models import blendshape
     from fpc_diffrend_tpu.models.camera import transform_clip
-    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import raster_stats
+    import fpc_diffrend_tpu.ops.pallas.rasterize_tpu as rt
 
     h, w = config.resolution
     vtx = blendshape.blend(config.mode, {**params, "deltas": scene.deltas},
@@ -82,6 +82,7 @@ def measure_raster_health(config: FitConfig, scene, params) -> dict:
                            config.combined_corrective_coefficient)
     verts3 = vtx.reshape(-1, 3)
     worst = {"n_valid_pairs": 0, "n_global": 0, "global_overflow": 0,
+             "wy_max": 0, "wx_max": 0,
              "fold_band_excess": -(1 << 30),
              "fold_band_excess_rev": -(1 << 30)}
     cap = config.pair_cap if config.pair_cap else None
@@ -89,7 +90,11 @@ def measure_raster_health(config: FitConfig, scene, params) -> dict:
         mvp = loop_mod.build_mvp(scene, params, jnp.int32(cam),
                                  jnp.int32(0))
         pos_clip = transform_clip(mvp, verts3)
-        stats = jax.device_get(raster_stats(pos_clip, scene.faces, h, w))
+        # window passed explicitly: autotune_caps may rebind the module
+        # window between calls, and the jit cache must key on the value
+        stats = jax.device_get(rt.raster_stats(
+            pos_clip, scene.faces, h, w,
+            window_y=rt.WINDOW_Y, window_x=rt.WINDOW_X))
         stats["fold_band_excess"] = _band_excess(scene, pos_clip, h, w,
                                                  cap, False)
         stats["fold_band_excess_rev"] = _band_excess(scene, pos_clip, h, w,
@@ -131,6 +136,25 @@ def autotune_caps(config: FitConfig, scene, params) -> FitConfig:
     if config.pair_cap or config.raster_impl == "scan":
         return config
     health = measure_raster_health(config, scene, params)
+
+    # Binning-window autotune: the (tile, tri) pair key sort is the
+    # binning stage's dominant cost and is linear in WINDOW_Y * WINDOW_X
+    # pairs per triangle. When every valid triangle's tile bbox fits a
+    # shorter window, shrink it — triangles that later GROW past the
+    # window drop to the global list (rendered correctly up to
+    # MAX_GLOBAL; the periodic health re-measure watches overflow).
+    # Explicit FPC_WINDOW_Y always wins. The pair set is unchanged when
+    # wy_max fits the new window, so `health` stays valid as measured.
+    import fpc_diffrend_tpu.ops.pallas.rasterize_tpu as rt
+
+    if "FPC_WINDOW_Y" not in os.environ:
+        wy_fit = max(int(health["wy_max"]), 2)
+        if wy_fit < rt.WINDOW_Y:
+            rt.WINDOW_Y = wy_fit
+            print(f"[autotune] window_y={wy_fit} (measured wy_max="
+                  f"{health['wy_max']}, {health['n_global']} global)",
+                  flush=True)
+
     if health["global_overflow"] > 0:
         raise RuntimeError(
             f"raster global-list overflow ({health['global_overflow']} "

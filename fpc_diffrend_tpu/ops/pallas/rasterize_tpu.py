@@ -51,7 +51,14 @@ Array = jnp.ndarray
 
 TILE_H = 8                # tile height in pixels (VPU sublanes)
 TILE_W = 128              # tile width in pixels (VPU lanes)
-WINDOW_Y = 4              # binning window in tiles (32 px tall)
+# Binning window in tiles. Triangles whose tile bbox exceeds the window
+# go to the (MAX_GLOBAL-capped, overflow-counted) global list, so a
+# smaller WINDOW_Y trades global-list pressure for a linearly shorter
+# (tile, tri) pair list — the key sort over those pairs is the binning
+# stage's dominant cost. The headline scene's triangles all fit 3 tile
+# rows (~10 px tall), so FPC_WINDOW_Y=3 cuts sorted pairs 25% with zero
+# spill; 4 is the safe default for unknown meshes. Env-tunable for A/B.
+WINDOW_Y = int(os.environ.get("FPC_WINDOW_Y", "4"))   # tiles (8 px each)
 WINDOW_X = 2              # binning window in tiles (256 px wide)
 CHUNK = 128               # triangles DMA'd per bin chunk
 # Predicated sub-block granularity within a chunk: bins average a few
@@ -1571,16 +1578,27 @@ def visibility_from_bins(bins: "Bins", height: int, width: int,
     return idbuf
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
-def raster_stats(pos_clip: Array, faces: Array, height: int, width: int):
+@functools.partial(jax.jit, static_argnames=("height", "width",
+                                             "window_y", "window_x"))
+def raster_stats(pos_clip: Array, faces: Array, height: int, width: int,
+                 window_y: int | None = None, window_x: int | None = None):
     """Binning health counters (no-silent-caps check, jit-safe).
 
+    :param window_y / window_x: binning window to evaluate against
+        (static; default = the module's current WINDOW_Y/WINDOW_X).
+        Callers that rebind the module window (fit.api.autotune_caps)
+        pass it explicitly so the jit cache keys on the actual window —
+        a None-keyed trace from before the rebind would silently report
+        stats for the old window.
     :return: dict with n_valid_pairs (bin entries), n_global (oversized
         triangles in the global list), global_overflow (oversized
         triangles DROPPED past MAX_GLOBAL — must be 0 for a correct
         render), pair_cap_suggestion (min pair_cap preserving all
-        gradients in the backward reduction).
+        gradients in the backward reduction), wy_max / wx_max (largest
+        valid-triangle tile bbox — sizes the window itself).
     """
+    wy_win = WINDOW_Y if window_y is None else window_y
+    wx_win = WINDOW_X if window_x is None else window_x
     ph, pw = pad_resolution(height, width)
     data, tile_bbox, valid = triangle_setup(pos_clip, faces.astype(jnp.int32),
                                             height, width)
@@ -1588,7 +1606,7 @@ def raster_stats(pos_clip: Array, faces: Array, height: int, width: int):
                           tile_bbox[:, 2], tile_bbox[:, 3])
     wx = tx1 - tx0 + 1
     wy = ty1 - ty0 + 1
-    fits = (wx <= WINDOW_X) & (wy <= WINDOW_Y)
+    fits = (wx <= wx_win) & (wy <= wy_win)
     n_pairs = jnp.sum(jnp.where(valid & fits, wx * wy, 0))
     n_big = jnp.sum(valid & ~fits)
     return {
@@ -1596,6 +1614,8 @@ def raster_stats(pos_clip: Array, faces: Array, height: int, width: int):
         "n_global": jnp.minimum(n_big, MAX_GLOBAL),
         "global_overflow": jnp.maximum(n_big - MAX_GLOBAL, 0),
         "pair_cap_suggestion": n_pairs,
+        "wy_max": jnp.max(jnp.where(valid, wy, 0)),
+        "wx_max": jnp.max(jnp.where(valid, wx, 0)),
     }
 
 

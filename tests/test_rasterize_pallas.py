@@ -97,6 +97,42 @@ def test_raster_stats(rng):
         [jnp.asarray(np.array([[0, 1, 2]], np.int32)), faces + 3])
     stats2 = rp.raster_stats(pos2, faces2, 256, 256)
     assert int(stats2["n_global"]) >= 1
+    # the screen-filling triangle dominates the bbox extrema
+    assert int(stats2["wy_max"]) > int(stats["wy_max"])
+    assert int(stats2["wx_max"]) >= 2
+
+
+def test_raster_stats_window_arg(rng):
+    """Explicit window args key the jit cache (window autotune safety)."""
+    pos, faces = random_scene(rng, n_tris=30)
+    base = rp.raster_stats(pos, faces, 128, 128)
+    wide = rp.raster_stats(pos, faces, 128, 128, window_y=8, window_x=2)
+    narrow = rp.raster_stats(pos, faces, 128, 128, window_y=1, window_x=1)
+    # a wider window only moves triangles global -> binned
+    assert int(wide["n_global"]) <= int(base["n_global"])
+    assert int(wide["n_valid_pairs"]) >= int(base["n_valid_pairs"])
+    assert int(narrow["n_global"]) >= int(base["n_global"])
+    # bbox extrema are window-independent
+    assert int(narrow["wy_max"]) == int(base["wy_max"])
+
+
+def test_window_y_shrink_binning_parity(rng):
+    """Binning with a smaller WINDOW_Y renders identically: triangles
+    that fit keep the same bins, the rest go to the global list."""
+    import fpc_diffrend_tpu.ops.pallas.rasterize_tpu as rt
+
+    pos, faces = random_scene(rng, n_tris=40)
+    ref = rp.visibility_pallas(pos, faces, 64, 64, interpret=True)
+    old = rt.WINDOW_Y
+    try:
+        rt.WINDOW_Y = 2
+        got = jax.jit(
+            lambda p, f: rp.visibility_from_bins(
+                rp.bin_scene(p, f, 64, 64)[1], 64, 64, interpret=True)
+        )(pos, faces)
+    finally:
+        rt.WINDOW_Y = old
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
 
 
 def test_tiles_per_program_divides_and_overrides(monkeypatch):
