@@ -137,23 +137,30 @@ def autotune_caps(config: FitConfig, scene, params) -> FitConfig:
         return config
     health = measure_raster_health(config, scene, params)
 
-    # Binning-window autotune: the (tile, tri) pair key sort is the
-    # binning stage's dominant cost and is linear in WINDOW_Y * WINDOW_X
-    # pairs per triangle. When every valid triangle's tile bbox fits a
-    # shorter window, shrink it — triangles that later GROW past the
-    # window drop to the global list (rendered correctly up to
-    # MAX_GLOBAL; the periodic health re-measure watches overflow).
-    # Explicit FPC_WINDOW_Y always wins. The pair set is unchanged when
-    # wy_max fits the new window, so `health` stays valid as measured.
+    # Binning-window autotune: the (tile, tri) pair list is WINDOW_Y *
+    # WINDOW_X entries per triangle and feeds the binning key sort. XLA's
+    # TPU sort runs at the next power-of-two size, so shrinking the
+    # window only pays when T * K actually crosses a pow2 boundary —
+    # measured on-chip 2026-08-20: K 8 -> 6 at T=30k (238k -> 178k keys,
+    # both pad to 2^18) was 161.4 -> 171.3 ms, i.e. no sort win and
+    # slightly worse XLA glue. Gate the shrink on the crossing. When it
+    # fires, triangles that later GROW past the window drop to the
+    # global list (rendered correctly up to MAX_GLOBAL; the periodic
+    # health re-measure watches overflow). Explicit FPC_WINDOW_Y always
+    # wins. The live pair set is unchanged when wy_max fits the new
+    # window, so `health` stays valid as measured.
     import fpc_diffrend_tpu.ops.pallas.rasterize_tpu as rt
 
     if "FPC_WINDOW_Y" not in os.environ:
         wy_fit = max(int(health["wy_max"]), 2)
-        if wy_fit < rt.WINDOW_Y:
+        T = int(scene.faces.shape[0])
+        if wy_fit < rt.WINDOW_Y and (
+                (T * wy_fit * rt.WINDOW_X - 1).bit_length()
+                < (T * rt.WINDOW_Y * rt.WINDOW_X - 1).bit_length()):
             rt.WINDOW_Y = wy_fit
             print(f"[autotune] window_y={wy_fit} (measured wy_max="
-                  f"{health['wy_max']}, {health['n_global']} global)",
-                  flush=True)
+                  f"{health['wy_max']}, {health['n_global']} global; "
+                  "pair count crosses a sort pow2 boundary)", flush=True)
 
     if health["global_overflow"] > 0:
         raise RuntimeError(

@@ -250,6 +250,35 @@ def main():
             q, cfg_nolap, scene, batch, state.step)[0])(p)
         return scalar(g)
 
+    # micro-rows for the backward's XLA glue: the blend+pose prologue
+    # backward and the triangle-setup/aux-record chain backward (grad
+    # rows (T, 16)x2 -> pos_clip/uv scatter) — the pieces of "render bwd
+    # total" that are neither the gradient kernel, the texture backward
+    # nor the antialias backward
+    @jax.jit
+    def t_prologue_fb(p):
+        def f(q):
+            pc, _ = jax.vmap(lambda c, fr: fit_loop.sample_clip_positions(
+                config, scene, q, c, fr))(batch.cam_idx, batch.frame_idx)
+            return jnp.sum(pc * pc)
+        return scalar(jax.grad(f)(p))
+
+    @jax.jit
+    def t_setup_aux_fb(pc):
+        from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+            aux_records, triangle_setup)
+
+        def f(pcs):
+            def one(pc1):
+                data, _bbox, _valid = triangle_setup(
+                    pc1, scene.faces.astype(jnp.int32), H, W)
+                aux = aux_records(scene.uv, scene.uv_idx.astype(jnp.int32),
+                                  pc1, scene.faces.astype(jnp.int32),
+                                  scene.face_neighbors, H, W)
+                return jnp.sum(data * data) + jnp.sum(aux * aux)
+            return jnp.sum(jax.vmap(one)(pcs))
+        return scalar(jax.grad(f)(pc))
+
     rows = []
 
     def run(name, fn, *args):
@@ -275,6 +304,8 @@ def main():
     aa_fb = run("antialias fwd+bwd", t_aa_fb, colour_b, idbuf_b, payload_b)
     aa_fwd = run("antialias fwd", t_aa_fwd, colour_b, idbuf_b, payload_b)
     fb_nolap = run("loss fwd+bwd (no laplacian)", t_fb_loss_nolap, params)
+    run("prologue fwd+bwd (isolated)", t_prologue_fb, params)
+    run("setup+aux fwd+bwd (isolated)", t_setup_aux_fb, pos_clip)
 
     print("\n--- derived (per batched step) ---")
     print("# each stage is a separately jitted graph with its own fusion,")
