@@ -146,6 +146,35 @@ class MeshTopology:
     nbr_mask: np.ndarray = None
 
 
+def corner_incidence(idx: np.ndarray, n: int):
+    """Inverse of the (T, 3) corner-index gather, as a padded table.
+
+    For each target row v < n, the positions in ``idx.reshape(-1)`` that
+    equal v — the static incidence map that turns the gather's backward
+    scatter-add into a (n, D) GATHER + masked sum (TPU scatters run at
+    ~450 Mfloat/s; gathers are an order of magnitude faster). Used by
+    rasterize_tpu.corner_gather for the triangle-setup/aux gradient
+    chain (the measured ~15 ms backward-glue of the fit step).
+
+    :param idx: (T, 3) int corner indices (faces or fuv rows).
+    :param n: number of target rows (vertices / uv entries).
+    :return: (inc_idx (n, D) int32 into the flattened (T*3) slots, pad =
+        slot 0; inc_mask (n, D) bool).
+    """
+    flat = np.asarray(idx, dtype=np.int64).reshape(-1)
+    counts = np.bincount(flat, minlength=n)
+    D = max(int(counts.max()) if counts.size else 1, 1)
+    inc_idx = np.zeros((n, D), np.int64)
+    inc_mask = np.zeros((n, D), bool)
+    order = np.argsort(flat, kind="stable")
+    flat_s = flat[order]
+    first = np.searchsorted(flat_s, np.arange(n))
+    slot = np.arange(flat_s.shape[0]) - first[flat_s]
+    inc_idx[flat_s, slot] = order
+    inc_mask[flat_s, slot] = True
+    return inc_idx.astype(np.int32), inc_mask
+
+
 def build_topology(faces: np.ndarray, n_vertices: int) -> MeshTopology:
     """Compute unique edges, adjacent-face pairs and vertex neighborhoods."""
     faces = np.asarray(faces, dtype=np.int64)

@@ -71,10 +71,18 @@ def render_sample(config: FitConfig, scene: Scene, params: dict,
 
     :return: (image (H, W, 1), verts3 (V, 3))
     """
+    import os
+
     from fpc_diffrend_tpu.ops.pipeline import render_from_clip
 
     pos_clip, verts3 = sample_clip_positions(config, scene, params,
                                              cam_idx, frame_idx)
+    # FPC_SETUP_VJP=gather routes the triangle-setup/aux backward through
+    # the incidence-table gather (rasterize_tpu.corner_gather) instead of
+    # XLA's scatter-add — opt-in until chip-validated (round-4 protocol).
+    inc = (scene.inc
+           if os.environ.get("FPC_SETUP_VJP", "scatter") == "gather"
+           and scene.vtx_inc_idx is not None else (None, None))
     img = render_from_clip(pos_clip, scene.faces, scene.uv, scene.uv_idx,
                            params["tex"], tuple(config.resolution),
                            scene.face_neighbors, enable_mip=config.enable_mip,
@@ -82,7 +90,7 @@ def render_sample(config: FitConfig, scene: Scene, params: dict,
                            impl=config.raster_impl,
                            aa_max_pairs=resolve_aa_max_pairs(config),
                            pair_cap=config.pair_cap if config.pair_cap > 0
-                           else None)
+                           else None, inc=inc)
     return img, verts3
 
 

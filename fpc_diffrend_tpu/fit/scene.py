@@ -39,6 +39,24 @@ class Scene(NamedTuple):
     # for Scenes built before this field existed)
     nbr_idx: jnp.ndarray | None = None
     nbr_mask: jnp.ndarray | None = None
+    # corner-incidence tables (data.obj.corner_incidence) routing the
+    # triangle-setup/aux gradient chain through gather-based backward
+    # (rasterize_tpu.corner_gather) instead of XLA scatter-adds
+    vtx_inc_idx: jnp.ndarray | None = None
+    vtx_inc_mask: jnp.ndarray | None = None
+    uv_inc_idx: jnp.ndarray | None = None
+    uv_inc_mask: jnp.ndarray | None = None
+
+    @property
+    def inc(self):
+        """((vtx_inc_idx, vtx_inc_mask), (uv_inc_idx, uv_inc_mask)) in
+        the form ops.pipeline.render_from_clip's ``inc`` expects, or
+        (None, None) entries when the tables are absent."""
+        vtx = (None if self.vtx_inc_idx is None
+               else (self.vtx_inc_idx, self.vtx_inc_mask))
+        uvi = (None if self.uv_inc_idx is None
+               else (self.uv_inc_idx, self.uv_inc_mask))
+        return (vtx, uvi)
 
     @property
     def n_vertices(self) -> int:
@@ -108,6 +126,8 @@ def build_scene(basemesh: objlib.MeshData, proj: np.ndarray, mv: np.ndarray,
             basemesh = type(basemesh)(vertices=basemesh.vertices,
                                       uv=basemesh.uv, faces=faces, fuv=fuv)
     topo = objlib.build_topology(basemesh.faces, basemesh.n_vertices)
+    vtx_inc = objlib.corner_incidence(basemesh.faces, basemesh.n_vertices)
+    uv_inc = objlib.corner_incidence(basemesh.fuv, basemesh.uv.shape[0])
     if deltas is None:
         deltas = np.zeros((basemesh.vertices.shape[0], 1), np.float32)
     return Scene(
@@ -126,4 +146,8 @@ def build_scene(basemesh: objlib.MeshData, proj: np.ndarray, mv: np.ndarray,
         face_neighbors=jnp.asarray(topo.face_neighbors),
         nbr_idx=jnp.asarray(topo.nbr_idx),
         nbr_mask=jnp.asarray(topo.nbr_mask),
+        vtx_inc_idx=jnp.asarray(vtx_inc[0]),
+        vtx_inc_mask=jnp.asarray(vtx_inc[1]),
+        uv_inc_idx=jnp.asarray(uv_inc[0]),
+        uv_inc_mask=jnp.asarray(uv_inc[1]),
     )

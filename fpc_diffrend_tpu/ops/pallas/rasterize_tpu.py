@@ -78,9 +78,58 @@ _W_EPS = 1e-9
 # XLA-side triangle setup and binning
 # ----------------------------------------------------------------------------
 
-def triangle_setup(pos_clip: Array, faces: Array, height: int, width: int):
+def _int_zero_ct(x):
+    import numpy as np
+
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def corner_gather(x: Array, idx: Array, inc_idx: Array, inc_mask: Array):
+    """``x[idx]`` whose backward is a gather, not a scatter.
+
+    XLA autodiff of a (T, 3) corner gather emits a scatter-add back onto
+    the (V, C) source — measured ~15 ms/step at the headline workload
+    (the fit's largest backward XLA-glue cost; TPU scatters run at
+    ~450 Mfloat/s). With the static incidence table from
+    data.obj.corner_incidence the backward instead gathers each target
+    row's <= D cotangent slots and mask-sums them — pure gather + reduce.
+    Accumulation order per vertex differs from the scatter (ulp-level).
+
+    :param x: (V, C) source rows.
+    :param idx: (T, 3) int32 corner indices.
+    :param inc_idx / inc_mask: (V, D) incidence table for ``idx``.
+    :return: (T, 3, C) gathered rows.
+    """
+    return x[idx]
+
+
+def _corner_gather_fwd(x, idx, inc_idx, inc_mask):
+    return x[idx], (idx, inc_idx, inc_mask)
+
+
+def _corner_gather_bwd(res, ct):
+    idx, inc_idx, inc_mask = res
+    flat = ct.reshape(-1, ct.shape[-1])               # (T*3, C)
+    rows = flat[inc_idx]                              # (V, D, C)
+    gx = jnp.sum(jnp.where(inc_mask[..., None], rows, 0.0), axis=1)
+    return (gx, _int_zero_ct(idx), _int_zero_ct(inc_idx),
+            _int_zero_ct(inc_mask))
+
+
+corner_gather.defvjp(_corner_gather_fwd, _corner_gather_bwd)
+
+
+def triangle_setup(pos_clip: Array, faces: Array, height: int, width: int,
+                   vtx_inc=None):
     """Per-triangle screen records for the kernel.
 
+    :param vtx_inc: optional (inc_idx, inc_mask) incidence table for
+        ``faces`` (data.obj.corner_incidence) — routes the backward
+        through the gather-based corner_gather instead of XLA's
+        scatter-add (values identical; see corner_gather).
     :return: (data (T, 16) f32, tile_bbox (T, 4) i32 = (tx0, ty0, tx1, ty1),
               valid (T,) bool)
     """
@@ -91,10 +140,15 @@ def triangle_setup(pos_clip: Array, faces: Array, height: int, width: int):
     sy = (ndc[:, 1] + 1.0) * (0.5 * height)
     sz = ndc[:, 2]
 
-    fx = sx[faces]            # (T, 3)
-    fy = sy[faces]
-    fz = sz[faces]
-    fw = w[faces]
+    if vtx_inc is not None:
+        fields = jnp.stack([sx, sy, sz, w], axis=1)       # (V, 4)
+        ff = corner_gather(fields, faces, *vtx_inc)       # (T, 3, 4)
+        fx, fy, fz, fw = ff[..., 0], ff[..., 1], ff[..., 2], ff[..., 3]
+    else:
+        fx = sx[faces]        # (T, 3)
+        fy = sy[faces]
+        fz = sz[faces]
+        fw = w[faces]
 
     x0, x1, x2 = fx[:, 0], fx[:, 1], fx[:, 2]
     y0, y1, y2 = fy[:, 0], fy[:, 1], fy[:, 2]
@@ -153,23 +207,32 @@ def triangle_setup(pos_clip: Array, faces: Array, height: int, width: int):
 
 def aux_records(uv: Array, uv_idx: Array, pos_clip: Array, faces: Array,
                 face_neighbors: Array | None, height: int,
-                width: int) -> Array:
+                width: int, vtx_inc=None, uv_inc=None) -> Array:
     """(T, 16) auxiliary rows: uv corners, screen corners, neighbor ids.
 
     Layout: [u0 v0 u1 v1 u2 v2 x0 y0 x1 y1 x2 y2 n0 n1 n2 0].
     Differentiable w.r.t. ``uv`` and ``pos_clip`` — the fused rasterize
     custom VJP chains interpolated-coordinate and antialias-vertex
     gradients back through these gathers.
+
+    :param vtx_inc / uv_inc: optional incidence tables for ``faces`` /
+        ``uv_idx`` (see corner_gather — gather-based backward).
     """
     T = faces.shape[0]
-    corners = uv[uv_idx].reshape(T, 6)               # (T, 6)
+    if uv_inc is not None:
+        corners = corner_gather(uv, uv_idx, *uv_inc).reshape(T, 6)
+    else:
+        corners = uv[uv_idx].reshape(T, 6)           # (T, 6)
     w = pos_clip[:, 3:4]
     safe_w = jnp.where(jnp.abs(w) > _W_EPS, w, _W_EPS)
     ndc = pos_clip[:, :2] / safe_w
     sx = (ndc[:, 0] + 1.0) * (0.5 * width)
     sy = (ndc[:, 1] + 1.0) * (0.5 * height)
     sv = jnp.stack([sx, sy], axis=1)                 # (V, 2)
-    verts = sv[faces].reshape(T, 6)                  # (T, 6)
+    if vtx_inc is not None:
+        verts = corner_gather(sv, faces, *vtx_inc).reshape(T, 6)
+    else:
+        verts = sv[faces].reshape(T, 6)              # (T, 6)
     if face_neighbors is None:
         neigh = jnp.full((T, 3), -1.0, jnp.float32)
     else:
@@ -1381,17 +1444,19 @@ def _aa_empty_tile(ti, tj, cols, height, width, C, bg_ref,
 # ----------------------------------------------------------------------------
 
 def bin_scene(pos_clip: Array, faces: Array, height: int, width: int,
-              aux: Array | None = None, entry_cap: int | None = None):
+              aux: Array | None = None, entry_cap: int | None = None,
+              vtx_inc=None):
     """Triangle setup + binning for a render target; shared between the
     visibility and gradient kernels.
 
     :param aux: optional (T, 16) auxiliary rows (see aux_records).
     :param entry_cap: see bin_triangles.
+    :param vtx_inc: optional faces incidence table (see corner_gather).
     :return: (data (T, 16), Bins)
     """
     ph, pw = pad_resolution(height, width)
     data, tile_bbox, valid = triangle_setup(pos_clip, faces.astype(jnp.int32),
-                                            height, width)
+                                            height, width, vtx_inc=vtx_inc)
     if aux is None:
         aux = jnp.zeros((faces.shape[0], 16), jnp.float32)
     bins = bin_triangles(data, tile_bbox, valid, ph, pw, aux=aux,

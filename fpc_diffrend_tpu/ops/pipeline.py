@@ -73,7 +73,8 @@ def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
                      max_mip_level: int = 0, impl: str = "auto",
                      background: float = BACKGROUND,
                      aa_max_pairs: int | None = None,
-                     pair_cap: int | None = None) -> Array:
+                     pair_cap: int | None = None,
+                     inc=(None, None)) -> Array:
     """:func:`render` taking precomputed clip-space positions — the shared
     tail for callers that build ``pos_clip`` themselves (the fit loop's
     profiler times the prologue and this tail on the identical graph)."""
@@ -155,7 +156,7 @@ def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
 
                 idbuf_p, aa_p = _rasterize_pallas_textured_aa(
                     pos_clip, pos_idx, uv, uv_idx, tex, face_neighbors,
-                    resolution, pair_cap)
+                    resolution, pair_cap, inc=inc)
                 img_p = jnp.where(idbuf_p >= 0, jnp.stack(aa_p), background)
                 return jnp.moveaxis(img_p[:, :height, :width], 0, -1)
             if os.environ.get("FPC_FUSE_TEX", "1") != "0":
@@ -164,14 +165,14 @@ def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
                 idbuf_p, payload_p, colour_planes = \
                     _rasterize_pallas_textured(
                         pos_clip, pos_idx, uv, uv_idx, tex, face_neighbors,
-                        resolution, pair_cap)
+                        resolution, pair_cap, inc=inc)
             else:
                 from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
                     texture_planes_pallas)
 
                 idbuf_p, payload_p = _rasterize_pallas_padded(
                     pos_clip, pos_idx, uv, uv_idx, face_neighbors,
-                    resolution, pair_cap)
+                    resolution, pair_cap, inc=inc)
                 colour_planes = texture_planes_pallas(
                     tex, payload_p[3], payload_p[4], height, width, "wrap")
             aa_p = antialias_planes_pallas(colour_planes, idbuf_p,

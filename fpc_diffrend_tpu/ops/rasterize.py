@@ -491,7 +491,8 @@ rasterize_texture_aa_fused.defvjp(_rasterize_texture_aa_fused_fwd,
 def _rasterize_pallas_textured(pos_clip: Array, faces: Array, uv, uv_idx,
                                tex, face_neighbors, resolution,
                                pair_cap: int | None = None,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               inc=(None, None)):
     """Binning + the fully fused rasterize+texture pass (padded layout).
 
     :return: (idbuf_p (ph, pw) i32, payload_p (N_PAYLOAD, ph, pw),
@@ -502,11 +503,13 @@ def _rasterize_pallas_textured(pos_clip: Array, faces: Array, uv, uv_idx,
 
     height, width = resolution
     faces = faces.astype(jnp.int32)
+    vtx_inc, uv_inc = inc
     aux = aux_records(uv, uv_idx.astype(jnp.int32), pos_clip, faces,
-                      face_neighbors, height, width)
+                      face_neighbors, height, width, vtx_inc=vtx_inc,
+                      uv_inc=uv_inc)
     data, bins = bin_scene(pos_clip, faces, height, width,
                            aux=jax.lax.stop_gradient(aux),
-                           entry_cap=pair_cap)
+                           entry_cap=pair_cap, vtx_inc=vtx_inc)
     bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
     return rasterize_texture_fused(data, aux, tex, bins_sg, height, width,
                                    interpret, pair_cap)
@@ -515,7 +518,8 @@ def _rasterize_pallas_textured(pos_clip: Array, faces: Array, uv, uv_idx,
 def _rasterize_pallas_textured_aa(pos_clip: Array, faces: Array, uv, uv_idx,
                                   tex, face_neighbors, resolution,
                                   pair_cap: int | None = None,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  inc=(None, None)):
     """Binning + the fused rasterize+texture+antialias pass (FPC_AA_FUSE).
 
     :return: (idbuf_p (ph, pw) i32, aa_planes tuple of C (ph, pw) —
@@ -526,11 +530,13 @@ def _rasterize_pallas_textured_aa(pos_clip: Array, faces: Array, uv, uv_idx,
 
     height, width = resolution
     faces = faces.astype(jnp.int32)
+    vtx_inc, uv_inc = inc
     aux = aux_records(uv, uv_idx.astype(jnp.int32), pos_clip, faces,
-                      face_neighbors, height, width)
+                      face_neighbors, height, width, vtx_inc=vtx_inc,
+                      uv_inc=uv_inc)
     data, bins = bin_scene(pos_clip, faces, height, width,
                            aux=jax.lax.stop_gradient(aux),
-                           entry_cap=pair_cap)
+                           entry_cap=pair_cap, vtx_inc=vtx_inc)
     bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
     idbuf, _payload, _colour, aa = rasterize_texture_aa_fused(
         data, aux, tex, bins_sg, height, width, interpret, pair_cap)
@@ -540,7 +546,8 @@ def _rasterize_pallas_textured_aa(pos_clip: Array, faces: Array, uv, uv_idx,
 def _rasterize_pallas_padded(pos_clip: Array, faces: Array, uv, uv_idx,
                              face_neighbors, resolution,
                              pair_cap: int | None = None,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             inc=(None, None)):
     """Fused rasterize for the padded plane-major pipeline.
 
     :return: (idbuf_p (ph, pw) i32, payload_p (N_PAYLOAD, ph, pw)) in the
@@ -551,11 +558,13 @@ def _rasterize_pallas_padded(pos_clip: Array, faces: Array, uv, uv_idx,
 
     height, width = resolution
     faces = faces.astype(jnp.int32)
+    vtx_inc, uv_inc = inc
     aux = aux_records(uv, uv_idx.astype(jnp.int32), pos_clip, faces,
-                      face_neighbors, height, width)
+                      face_neighbors, height, width, vtx_inc=vtx_inc,
+                      uv_inc=uv_inc)
     data, bins = bin_scene(pos_clip, faces, height, width,
                            aux=jax.lax.stop_gradient(aux),
-                           entry_cap=pair_cap)
+                           entry_cap=pair_cap, vtx_inc=vtx_inc)
     bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
     return rasterize_fused(data, aux, bins_sg, height, width, interpret,
                            pair_cap, True)

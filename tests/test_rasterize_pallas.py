@@ -116,6 +116,45 @@ def test_raster_stats_window_arg(rng):
     assert int(narrow["wy_max"]) == int(base["wy_max"])
 
 
+def test_corner_gather_vjp_matches_scatter(rng):
+    """corner_gather's gather-based backward == XLA's scatter-add
+    backward of x[idx], on the full triangle_setup + aux_records chain."""
+    from fpc_diffrend_tpu.data.obj import corner_incidence
+
+    pos, faces = random_scene(rng, n_tris=25)
+    V = pos.shape[0]
+    uv = jnp.asarray(rng.uniform(size=(V, 2)).astype(np.float32))
+    uv_idx = faces
+    vtx_inc = tuple(map(jnp.asarray, corner_incidence(np.asarray(faces), V)))
+    uv_inc = vtx_inc
+
+    # direct op: value + vjp equality
+    x = jnp.asarray(rng.normal(size=(V, 4)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(faces.shape[0], 3, 4)
+                                ).astype(np.float32))
+    y_ref, vjp_ref = jax.vjp(lambda q: q[faces], x)
+    y_new, vjp_new = jax.vjp(
+        lambda q: rp.corner_gather(q, faces, *vtx_inc), x)
+    assert np.array_equal(np.asarray(y_ref), np.asarray(y_new))
+    np.testing.assert_allclose(np.asarray(vjp_ref(ct)[0]),
+                               np.asarray(vjp_new(ct)[0]), rtol=1e-6,
+                               atol=1e-6)
+
+    # full setup/aux chain: grads w.r.t. pos_clip and uv
+    def loss(pc, uvq, inc):
+        data, _, _ = rp.triangle_setup(pc, faces, 64, 64,
+                                       vtx_inc=inc and inc[0])
+        aux = rp.aux_records(uvq, uv_idx, pc, faces, None, 64, 64,
+                             vtx_inc=inc and inc[0], uv_inc=inc and inc[1])
+        return jnp.sum(jnp.sin(data)) + jnp.sum(jnp.cos(aux))
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(pos, uv, None)
+    g_new = jax.grad(loss, argnums=(0, 1))(pos, uv, (vtx_inc, uv_inc))
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_window_y_shrink_binning_parity(rng):
     """Binning with a smaller WINDOW_Y renders identically: triangles
     that fit keep the same bins, the rest go to the global list."""
