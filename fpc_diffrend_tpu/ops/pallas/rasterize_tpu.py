@@ -294,10 +294,13 @@ def _place_sort(tile_ids: Array, T: int, n_tiles: int, P: int,
         keys = jnp.sort(keys_flat)[:P]
     sorted_tile = keys // T
     sorted_tri = keys % T
-    counts = jnp.bincount(sorted_tile, length=n_tiles + 1)
-    bin_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(counts[:n_tiles]).astype(jnp.int32)])
+    # bin offsets from the sorted tile ids: bin_start[i] = #entries with
+    # tile < i == searchsorted(sorted_tile, i). Identical to the previous
+    # bincount+cumsum, but a 2k-query binary search instead of a P-sized
+    # bincount — the bincount fusion was 6.3 ms/step in the device trace.
+    bin_start = jnp.searchsorted(
+        sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
     return sorted_tri, bin_start, inv
 
 
