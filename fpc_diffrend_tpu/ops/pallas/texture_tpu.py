@@ -130,6 +130,26 @@ def _wrow_pair(local_row, n):
 # gated to zero there.
 _TEX_IMPL = __import__("os").environ.get("FPC_TEX_IMPL", "hat")
 
+# The gtex accumulation has two implementations (FPC_TEX_BWD):
+#   rowrmw  — each pixel row read-modify-writes its (SUB_H, PATCH_W)
+#             window of the VMEM gtex accumulator (round-2 design):
+#             8 x C dependent dynamic-offset RMWs per tile, the
+#             device-trace #2 op of the round-4 step (35.1 ms).
+#   tileacc — rows accumulate into a (TSUB, PATCH_W) register-backed
+#             value at a shared per-tile row origin (the min of the 8
+#             per-row origins); ONE RMW flush per tile per channel.
+#             The row's gradient lands at tile-relative rows via hat
+#             weights built from ltr + dt (dt = row origin - tile
+#             origin, an exact integer shift), so results match rowrmw
+#             up to f32 summation order whenever each row's SUB_H
+#             window fits the TSUB tile window; rows that don't fit
+#             (tile spans > TSUB texel rows, e.g. a uv-seam tile) take
+#             a predicated per-row RMW fallback with exact rowrmw
+#             placement. Only the hat X-contraction supports tileacc;
+#             onehot falls back to rowrmw.
+_TEX_BWD = __import__("os").environ.get("FPC_TEX_BWD", "rowrmw")
+TSUB = int(__import__("os").environ.get("FPC_TEX_TSUB", "32"))
+
 
 def _xsel(local_row, n):
     """(one-hot at floor(local), fraction) for the onehot X contraction."""
@@ -414,6 +434,8 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
             gtex_vmem[c] = jnp.zeros_like(gtex_vmem[c])
         dma.wait()
 
+    he = tex_vmem.shape[1]
+    tileacc = _TEX_BWD == "tileacc" and _TEX_IMPL != "onehot"
     for s in range(mt):
         cols = slice(s * TILE_W, (s + 1) * TILE_W)
         tile = ti * gx + pj * mt + s
@@ -422,6 +444,12 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
         @pl.when(live)
         def _(cols=cols, tile=tile):
             c0 = pl.multiple_of(c0_ref[tile], TILE_W)
+            if tileacc:
+                t0s = [t0r_ref[tile * TILE_H + r] for r in range(TILE_H)]
+                t0t = functools.reduce(jnp.minimum, t0s)
+                t0t = pl.multiple_of(jnp.minimum(t0t, he - TSUB), TILE_H)
+                accs = [jnp.zeros((TSUB, PATCH_W), jnp.float32)
+                        for _ in range(C)]
             gs_rows = []
             gt_rows = []
             for r in range(TILE_H):
@@ -438,6 +466,15 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                 else:
                     wx, dwx = _wrow_pair(lsr, PATCH_W)      # (PW, 128) x2
                 wy, dwy = _wrow_pair(ltr, SUB_H)            # (SUB_H, 128) x2
+                if tileacc:
+                    dt = t0r - t0t
+                    fits = dt <= TSUB - SUB_H
+                    # Tile-relative hat weights: exact integer row shift
+                    # of wy (zeros everywhere when the window doesn't
+                    # fit, via the mask — partial-overlap rows must not
+                    # leak a truncated gradient into the accumulator).
+                    m = fits.astype(jnp.float32)
+                    wy_t = _wrow(ltr + dt.astype(jnp.float32), TSUB) * m
                 gs_acc = jnp.zeros((1, TILE_W), jnp.float32)
                 gt_acc = jnp.zeros((1, TILE_W), jnp.float32)
                 for c in range(C):
@@ -457,6 +494,28 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                             preferred_element_type=jnp.float32,
                             precision=PRECISION)
                         gsub = g0 + _roll_lanes(g1, 1)
+                        cur = gtex_vmem[c, pl.ds(t0r, SUB_H),
+                                        pl.ds(c0, PATCH_W)]
+                        gtex_vmem[c, pl.ds(t0r, SUB_H),
+                                  pl.ds(c0, PATCH_W)] = cur + gsub
+                    elif tileacc:
+                        # gsub32 = (wy_t * g) @ wx^T at tile-relative rows
+                        accs[c] = accs[c] + jax.lax.dot_general(
+                            wy_t * g, wx,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=PRECISION)            # (TSUB, PW)
+
+                        @pl.when(jnp.logical_not(fits))
+                        def _(wg=wg, wx=wx, t0r=t0r, c0=c0, c=c):
+                            gsub = jax.lax.dot_general(
+                                wg, wx, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=PRECISION)
+                            cur = gtex_vmem[c, pl.ds(t0r, SUB_H),
+                                            pl.ds(c0, PATCH_W)]
+                            gtex_vmem[c, pl.ds(t0r, SUB_H),
+                                      pl.ds(c0, PATCH_W)] = cur + gsub
                     else:
                         # gsub = (wy * g) @ wx^T
                         gsub = jax.lax.dot_general(
@@ -464,9 +523,10 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=PRECISION)
-                    cur = gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)]
-                    gtex_vmem[c, pl.ds(t0r, SUB_H), pl.ds(c0, PATCH_W)] = (
-                        cur + gsub)
+                        cur = gtex_vmem[c, pl.ds(t0r, SUB_H),
+                                        pl.ds(c0, PATCH_W)]
+                        gtex_vmem[c, pl.ds(t0r, SUB_H),
+                                  pl.ds(c0, PATCH_W)] = cur + gsub
                     # coordinate gradients
                     if onehot:
                         A0, A1 = _sel2(sub, oh0)
@@ -483,6 +543,11 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                     gt_acc += jnp.sum(dwy * b, axis=0, keepdims=True) * g
                 gs_rows.append(gs_acc)
                 gt_rows.append(gt_acc)
+            if tileacc:
+                for c in range(C):
+                    cur = gtex_vmem[c, pl.ds(t0t, TSUB), pl.ds(c0, PATCH_W)]
+                    gtex_vmem[c, pl.ds(t0t, TSUB), pl.ds(c0, PATCH_W)] = (
+                        cur + accs[c])
             gs_ref[:, cols] = jnp.concatenate(gs_rows, axis=0)
             gt_ref[:, cols] = jnp.concatenate(gt_rows, axis=0)
 

@@ -131,3 +131,32 @@ def test_background_tiles_write_bg_sample(rng):
         got = texture_pallas(tex, texc, mode, True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
+
+
+def test_tileacc_backward_matches_rowrmw(rng, monkeypatch):
+    """FPC_TEX_BWD=tileacc gtex/gtexc parity vs the rowrmw default,
+    including fallback rows: the 128-row texture with a steep v ramp
+    makes per-row windows spread past the TSUB tile window."""
+    import fpc_diffrend_tpu.ops.pallas.texture_tpu as ttpu
+
+    tex = jnp.asarray(rng.uniform(size=(128, 64, 1)).astype(np.float32))
+    # steep + wiggly v: adjacent pixel rows land >16 texel rows apart in
+    # some tiles (fallback), close together in others (tileacc path)
+    ys, xs = np.meshgrid(np.linspace(0, 1, 24), np.linspace(0, 1, 128),
+                         indexing="ij")
+    u = 0.1 + 0.8 * xs
+    v = np.mod(3.0 * ys + 0.3 * np.sin(xs * 9), 1.0) * 0.95
+    texc = jnp.asarray(np.stack([u, v], -1).astype(np.float32))
+    gimg = jnp.asarray(rng.normal(size=(24, 128, 1)).astype(np.float32))
+
+    def loss(tex, texc):
+        return jnp.sum(texture_bilinear_pallas(tex, texc, True) * gimg)
+
+    monkeypatch.setattr(ttpu, "_TEX_BWD", "rowrmw")
+    gt_row, gc_row = jax.grad(loss, argnums=(0, 1))(tex, texc)
+    monkeypatch.setattr(ttpu, "_TEX_BWD", "tileacc")
+    gt_tile, gc_tile = jax.grad(loss, argnums=(0, 1))(tex, texc)
+    np.testing.assert_allclose(np.asarray(gt_tile), np.asarray(gt_row),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc_tile), np.asarray(gc_row),
+                               atol=1e-5)
