@@ -529,13 +529,12 @@ def _aa_planes_vjp_bwd(h, w, interpret, res, g):
                                      n_payload, interpret)
 
 
-def aa_planes_bwd_from_packed(packed, g, h, w, C, ph, pw, n_payload,
-                              interpret):
-    """(gcolour planes, None, gpayload) from the packed residual and the
-    (C, ph, pw) output cotangent — the planes backward, reusable by the
-    raster-fused antialias custom VJP (whose forward evaluates boundary
-    pairs at the right/bottom tile; the pair function is symmetric, so
-    this left/top-anchored backward reconstructs identical totals)."""
+def aa_planes_bwd_core(packed, g, h, w, C, ph, pw, interpret):
+    """(gcolour planes tuple, gverts (6, ph, pw)) from the packed residual
+    and the (C, ph, pw) output cotangent — no gpayload materialization;
+    the combined raster+texture+AA custom VJP stacks the cotangent
+    planes it feeds the gradient kernel directly (one copy instead of
+    the zeros+set+add chain through a (N_PAYLOAD, ph, pw) gpayload)."""
     ph2, pw2 = packed.shape[1], packed.shape[2]
     gy, gx = ph2 // TILE_H, pw2 // TILE_W
     P = _C0 + C
@@ -561,8 +560,19 @@ def aa_planes_bwd_from_packed(packed, g, h, w, C, ph, pw, n_payload,
     )(packed, rh, dh, gout, grh, gdh)
 
     gcolour = tuple(gcol[c, :ph, :pw] for c in range(C))
+    return gcolour, gverts[:, :ph, :pw]
+
+
+def aa_planes_bwd_from_packed(packed, g, h, w, C, ph, pw, n_payload,
+                              interpret):
+    """(gcolour planes, None, gpayload) — the custom-VJP-shaped wrapper
+    of :func:`aa_planes_bwd_core` (whose forward evaluates boundary
+    pairs at the right/bottom tile; the pair function is symmetric, so
+    this left/top-anchored backward reconstructs identical totals)."""
+    gcolour, gverts = aa_planes_bwd_core(packed, g, h, w, C, ph, pw,
+                                         interpret)
     gpayload = jnp.zeros((n_payload, ph, pw), jnp.float32)
-    gpayload = gpayload.at[5:11].set(gverts[:, :ph, :pw])
+    gpayload = gpayload.at[5:11].set(gverts)
     return gcolour, None, gpayload
 
 

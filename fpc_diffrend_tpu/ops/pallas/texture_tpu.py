@@ -150,6 +150,15 @@ _TEX_IMPL = __import__("os").environ.get("FPC_TEX_IMPL", "hat")
 _TEX_BWD = __import__("os").environ.get("FPC_TEX_BWD", "rowrmw")
 TSUB = int(__import__("os").environ.get("FPC_TEX_TSUB", "32"))
 
+# FPC_TEX_ROWS=fori rolls the backward's 8-row loop into a
+# lax.fori_loop (dynamic sublane slices; ~8x smaller Mosaic program per
+# tile). The production width 1600px pads to gx = 13 tile columns — a
+# PRIME, so tiles_per_program silently degrades the intended mt=8
+# amortization to mt=1; the rolled row loop makes mt=13 (one program
+# per 8-row band) compile-safe, amortizing per-program overhead over
+# the whole band. rowrmw + hat only.
+_TEX_ROWS = __import__("os").environ.get("FPC_TEX_ROWS", "unroll")
+
 
 def _xsel(local_row, n):
     """(one-hot at floor(local), fraction) for the onehot X contraction."""
@@ -436,10 +445,75 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
 
     he = tex_vmem.shape[1]
     tileacc = _TEX_BWD == "tileacc" and _TEX_IMPL != "onehot"
+    fori = (_TEX_ROWS == "fori" and not tileacc and _TEX_IMPL != "onehot")
     for s in range(mt):
         cols = slice(s * TILE_W, (s + 1) * TILE_W)
         tile = ti * gx + pj * mt + s
         live = live_ref[tile] > 0
+
+        if fori:
+
+            @pl.when(live)
+            def _(cols=cols, tile=tile):
+                c0 = pl.multiple_of(c0_ref[tile], TILE_W)
+                # whole-tile blocks once; rows extracted/accumulated via
+                # (TILE_H, 1) one-hots — Mosaic forbids UNALIGNED dynamic
+                # sublane slices, so per-row pl.ds(r, 1) is illegal here
+                ls_blk = ls_ref[:, cols]
+                lt_blk = lt_ref[:, cols]
+                g_blks = [g_refs[c][:, cols] for c in range(C)]
+
+                def row(r, carry):
+                    gs_img, gt_img = carry
+                    t0r = pl.multiple_of(t0r_ref[tile * TILE_H + r],
+                                         TILE_H)
+                    oh = (jax.lax.broadcasted_iota(
+                        jnp.int32, (TILE_H, 1), 0) == r).astype(jnp.float32)
+                    lsr = jnp.sum(ls_blk * oh, axis=0, keepdims=True)
+                    ltr = jnp.clip(
+                        jnp.sum(lt_blk * oh, axis=0, keepdims=True)
+                        - t0r.astype(jnp.float32),
+                        0.0, SUB_H - 1.001)
+                    wx, dwx = _wrow_pair(lsr, PATCH_W)
+                    wy, dwy = _wrow_pair(ltr, SUB_H)
+                    gs_acc = jnp.zeros((1, TILE_W), jnp.float32)
+                    gt_acc = jnp.zeros((1, TILE_W), jnp.float32)
+                    for c in range(C):
+                        g = jnp.sum(g_blks[c] * oh, axis=0, keepdims=True)
+                        sub = tex_vmem[c, pl.ds(t0r, SUB_H),
+                                       pl.ds(c0, PATCH_W)]
+                        gsub = jax.lax.dot_general(
+                            wy * g, wx, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=PRECISION)
+                        cur = gtex_vmem[c, pl.ds(t0r, SUB_H),
+                                        pl.ds(c0, PATCH_W)]
+                        gtex_vmem[c, pl.ds(t0r, SUB_H),
+                                  pl.ds(c0, PATCH_W)] = cur + gsub
+                        b = jnp.dot(sub, wx,
+                                    preferred_element_type=jnp.float32,
+                                    precision=PRECISION)
+                        b2 = jnp.dot(sub, dwx,
+                                     preferred_element_type=jnp.float32,
+                                     precision=PRECISION)
+                        gs_acc += jnp.sum(wy * b2, axis=0,
+                                          keepdims=True) * g
+                        gt_acc += jnp.sum(dwy * b, axis=0,
+                                          keepdims=True) * g
+                    return (gs_img + oh * gs_acc, gt_img + oh * gt_acc)
+
+                gs_img, gt_img = jax.lax.fori_loop(
+                    0, TILE_H, row,
+                    (jnp.zeros((TILE_H, TILE_W), jnp.float32),
+                     jnp.zeros((TILE_H, TILE_W), jnp.float32)))
+                gs_ref[:, cols] = gs_img
+                gt_ref[:, cols] = gt_img
+
+            @pl.when(jnp.logical_not(live))
+            def _(cols=cols):
+                gs_ref[:, cols] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                gt_ref[:, cols] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            continue
 
         @pl.when(live)
         def _(cols=cols, tile=tile):

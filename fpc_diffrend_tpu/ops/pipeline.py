@@ -159,6 +159,19 @@ def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
                     resolution, pair_cap, inc=inc)
                 img_p = jnp.where(idbuf_p >= 0, jnp.stack(aa_p), background)
                 return jnp.moveaxis(img_p[:, :height, :width], 0, -1)
+            if (os.environ.get("FPC_AA_COMBINED", "0") == "1"
+                    and os.environ.get("FPC_FUSE_TEX", "1") != "0"):
+                # rasterize+texture kernel + separate AA kernel under ONE
+                # custom VJP: the payload/colour planes stay internal, so
+                # the backward's gpayload zeros+set+add glue vanishes
+                from fpc_diffrend_tpu.ops.rasterize import (
+                    _rasterize_pallas_textured_sepaa)
+
+                idbuf_p, aa_p = _rasterize_pallas_textured_sepaa(
+                    pos_clip, pos_idx, uv, uv_idx, tex, face_neighbors,
+                    resolution, pair_cap, inc=inc)
+                img_p = jnp.where(idbuf_p >= 0, aa_p, background)
+                return jnp.moveaxis(img_p[:, :height, :width], 0, -1)
             if os.environ.get("FPC_FUSE_TEX", "1") != "0":
                 # texture sampling fused into the raster kernel's dense
                 # phase-B pass (one kernel, no texc roundtrip)

@@ -488,6 +488,106 @@ rasterize_texture_aa_fused.defvjp(_rasterize_texture_aa_fused_fwd,
                                   _rasterize_texture_aa_fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def rasterize_texture_sepaa(data, aux, tex, bins, height: int, width: int,
+                            interpret: bool, pair_cap: int | None = None):
+    """Rasterize+texture kernel followed by the SEPARATE antialias kernel,
+    under ONE custom VJP (FPC_AA_COMBINED).
+
+    Functionally identical to rasterize_texture_fused +
+    antialias_planes_pallas (the round-3 default pipeline), but the
+    payload and pre-AA colour planes never cross a custom-VJP boundary:
+    the backward feeds the AA kernel's corner cotangents and the texture
+    backward's uv cotangents straight into one 11-plane stack for the
+    gradient kernel — the (N_PAYLOAD, ph, pw) zeros+set gpayload, its
+    at[].add copies and the [:N_GPL] slice (the ~8 ms 'AA interface
+    glue' in the round-4b device trace) disappear from the graph.
+
+    :return: (idbuf_p (ph, pw) i32, aa (C, ph, pw) antialiased planes,
+              pre-background-composite).
+    """
+    out, _res = _rasterize_texture_sepaa_fwd(data, aux, tex, bins, height,
+                                             width, interpret, pair_cap)
+    return out
+
+
+def _rasterize_texture_sepaa_fwd(data, aux, tex, bins, height, width,
+                                 interpret, pair_cap=None):
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
+        _aa_fwd_from_packed, _pack_planes)
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        fused_rasterize_from_bins)
+
+    idbuf, payload, entry, extra, colour = fused_rasterize_from_bins(
+        bins, height, width, interpret, padded=True, tex=tex)
+    ph, pw = idbuf.shape
+    packed = _pack_planes(colour, idbuf, payload)
+    aa = _aa_fwd_from_packed(packed, len(colour), height, width,
+                             interpret)[:, :ph, :pw]
+    res = (entry, payload[0], payload[1], extra, bins, data.shape[0],
+           tex, payload[3], payload[4], packed)
+    return (idbuf, aa), res
+
+
+def _rasterize_texture_sepaa_bwd(height, width, interpret, pair_cap, res,
+                                 cts):
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import aa_planes_bwd_core
+    from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+        texture_planes_bwd_impl)
+
+    entry, u, v, extra, bins, n_tris, tex, tu, tv, packed = res
+    _gid, gaa = cts
+    ph, pw = entry.shape
+    C = packed.shape[0] - 11
+
+    gcolour, gverts = aa_planes_bwd_core(packed, gaa, height, width, C,
+                                         ph, pw, interpret)
+    gtex, gtu, gtv = texture_planes_bwd_impl(
+        tex, tu, tv, height, width, "wrap", interpret, gcolour)
+    # the gradient kernel's 11 cotangent planes in payload order
+    # [gu gv gz gtu gtv g(x0..y2)]: u/v/z get no cotangent (payload
+    # never escapes this op; AA differentiates only corners + colour)
+    gpl = jnp.concatenate([jnp.zeros((3, ph, pw), jnp.float32),
+                           gtu[None], gtv[None], gverts])
+    grad_data, grad_aux = pixel_grad_pallas(
+        bins, entry, u, v, extra, gpl, n_tris, height, width,
+        pair_cap=pair_cap, interpret=interpret)
+    return (grad_data, grad_aux, gtex, jax.tree.map(_zero_ct, bins))
+
+
+rasterize_texture_sepaa.defvjp(_rasterize_texture_sepaa_fwd,
+                               _rasterize_texture_sepaa_bwd)
+
+
+def _rasterize_pallas_textured_sepaa(pos_clip: Array, faces: Array, uv,
+                                     uv_idx, tex, face_neighbors,
+                                     resolution,
+                                     pair_cap: int | None = None,
+                                     interpret: bool = False,
+                                     inc=(None, None)):
+    """Binning + rasterize+texture kernel + separate AA kernel under one
+    custom VJP (FPC_AA_COMBINED pipeline entry).
+
+    :return: (idbuf_p (ph, pw) i32, aa (C, ph, pw) antialiased planes).
+    """
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        aux_records, bin_scene)
+
+    height, width = resolution
+    faces = faces.astype(jnp.int32)
+    vtx_inc, uv_inc = inc
+    aux = aux_records(uv, uv_idx.astype(jnp.int32), pos_clip, faces,
+                      face_neighbors, height, width, vtx_inc=vtx_inc,
+                      uv_inc=uv_inc)
+    data, bins = bin_scene(pos_clip, faces, height, width,
+                           aux=jax.lax.stop_gradient(aux),
+                           entry_cap=pair_cap, vtx_inc=vtx_inc)
+    bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
+    return rasterize_texture_sepaa(data, aux, tex, bins_sg, height, width,
+                                   interpret, pair_cap)
+
+
 def _rasterize_pallas_textured(pos_clip: Array, faces: Array, uv, uv_idx,
                                tex, face_neighbors, resolution,
                                pair_cap: int | None = None,
