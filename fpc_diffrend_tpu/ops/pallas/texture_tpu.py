@@ -71,6 +71,13 @@ VMEM_LIMIT = 96 * 2 ** 20
 # Mosaic supports only DEFAULT (bf16, ~4e-3 relative — too lossy for
 # texel-exact parity) and HIGHEST (fp32 contract) dot precision.
 PRECISION = jax.lax.Precision.HIGHEST
+# FPC_TEX_PREC=fast drops the BACKWARD's coordinate-gradient contractions
+# (b = sub @ wx, b2 = sub @ dwx — 2 of the 3 matmuls per row) to DEFAULT
+# (bf16) precision: ~4e-3 relative noise on gtu/gtv only; the texel
+# gradient (gtex) and the forward stay HIGHEST/exact. Opt-in perf knob.
+GRAD_PRECISION = (jax.lax.Precision.DEFAULT
+                  if __import__("os").environ.get("FPC_TEX_PREC", "exact")
+                  == "fast" else jax.lax.Precision.HIGHEST)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -492,10 +499,10 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                                   pl.ds(c0, PATCH_W)] = cur + gsub
                         b = jnp.dot(sub, wx,
                                     preferred_element_type=jnp.float32,
-                                    precision=PRECISION)
+                                    precision=GRAD_PRECISION)
                         b2 = jnp.dot(sub, dwx,
                                      preferred_element_type=jnp.float32,
-                                     precision=PRECISION)
+                                     precision=GRAD_PRECISION)
                         gs_acc += jnp.sum(wy * b2, axis=0,
                                           keepdims=True) * g
                         gt_acc += jnp.sum(dwy * b, axis=0,
@@ -609,10 +616,10 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                     else:
                         b = jnp.dot(sub, wx,
                                     preferred_element_type=jnp.float32,
-                                    precision=PRECISION)    # (SUB_H, 128)
+                                    precision=GRAD_PRECISION)  # (SUB_H,128)
                         b2 = jnp.dot(sub, dwx,
                                      preferred_element_type=jnp.float32,
-                                     precision=PRECISION)
+                                     precision=GRAD_PRECISION)
                     gs_acc += jnp.sum(wy * b2, axis=0, keepdims=True) * g
                     gt_acc += jnp.sum(dwy * b, axis=0, keepdims=True) * g
                 gs_rows.append(gs_acc)

@@ -159,7 +159,7 @@ def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
                     resolution, pair_cap, inc=inc)
                 img_p = jnp.where(idbuf_p >= 0, jnp.stack(aa_p), background)
                 return jnp.moveaxis(img_p[:, :height, :width], 0, -1)
-            if (os.environ.get("FPC_AA_COMBINED", "0") == "1"
+            if (os.environ.get("FPC_AA_COMBINED", "1") != "0"
                     and os.environ.get("FPC_FUSE_TEX", "1") != "0"):
                 # rasterize+texture kernel + separate AA kernel under ONE
                 # custom VJP: the payload/colour planes stay internal, so
