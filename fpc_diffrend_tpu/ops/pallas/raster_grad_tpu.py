@@ -68,6 +68,22 @@ N_GPL = 11
 Array = jnp.ndarray
 
 _W_EPS = 1e-9
+
+# FPC_GRAD_PREC=fast contracts the gradient-coefficient planes with a
+# SINGLE bf16 plane instead of the exact hi+mid+lo 3-way split (1 MXU
+# pass instead of 3): ~4e-3 relative noise on the per-triangle
+# gradients only — primal rasterization is untouched. Opt-in perf knob
+# (FPC_TEX_PREC=fast is the texture-kernel analogue).
+import os as _os
+
+_GRAD_FAST = _os.environ.get("FPC_GRAD_PREC", "exact") == "fast"
+
+
+def _split_grad(x):
+    if _GRAD_FAST:
+        return (x.astype(jnp.bfloat16),)
+    return _split3_bf16(x)
+
 _AREA_EPS = 1e-12
 
 
@@ -133,7 +149,7 @@ def _grad_kernel(gx: int, gy: int, pgx: int, mt: int, gbase: int,
             g32 = jnp.zeros((REC, CHUNK), jnp.float32)
             for g in range(TILE_H):
                 oh = (col_f == entry[g:g + 1, :]).astype(jnp.bfloat16)
-                for part in _split3_bf16(cr_vmem[g]):
+                for part in _split_grad(cr_vmem[g]):
                     g32 = g32 + jax.lax.dot_general(
                         part, oh, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)      # (REC, CHUNK)
@@ -197,7 +213,7 @@ def _grad_kernel(gx: int, gy: int, pgx: int, mt: int, gbase: int,
                 g32 = jnp.zeros((REC, CHUNK), jnp.float32)
                 for g in range(TILE_H):
                     oh = (col_f == entry[g:g + 1, :]).astype(jnp.bfloat16)
-                    for part in _split3_bf16(cr_vmem[g]):
+                    for part in _split_grad(cr_vmem[g]):
                         g32 = g32 + jax.lax.dot_general(
                             part, oh, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -403,7 +419,7 @@ def _fold_kernel(n_chunks: int, tp: int, w0_ref,
                                      ).astype(jnp.float32)
     oh = (col_i == rel.reshape(CHUNK, 1)).astype(jnp.bfloat16)
     acc = None
-    for part in _split3_bf16(grad_ref[...]):
+    for part in _split_grad(grad_ref[...]):
         f = jax.lax.dot_general(part, oh, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         acc = f if acc is None else acc + f

@@ -75,9 +75,14 @@ PRECISION = jax.lax.Precision.HIGHEST
 # (b = sub @ wx, b2 = sub @ dwx — 2 of the 3 matmuls per row) to DEFAULT
 # (bf16) precision: ~4e-3 relative noise on gtu/gtv only; the texel
 # gradient (gtex) and the forward stay HIGHEST/exact. Opt-in perf knob.
+_TEX_PREC = __import__("os").environ.get("FPC_TEX_PREC", "exact")
 GRAD_PRECISION = (jax.lax.Precision.DEFAULT
-                  if __import__("os").environ.get("FPC_TEX_PREC", "exact")
-                  == "fast" else jax.lax.Precision.HIGHEST)
+                  if _TEX_PREC in ("fast", "fast2")
+                  else jax.lax.Precision.HIGHEST)
+# fast2 additionally drops the texel-gradient contraction (gsub =
+# (wy*g) @ wx^T -> gtex) to DEFAULT precision.
+GSUB_PRECISION = (jax.lax.Precision.DEFAULT if _TEX_PREC == "fast2"
+                  else jax.lax.Precision.HIGHEST)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -492,7 +497,7 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                         gsub = jax.lax.dot_general(
                             wy * g, wx, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=PRECISION)
+                            precision=GSUB_PRECISION)
                         cur = gtex_vmem[c, pl.ds(t0r, SUB_H),
                                         pl.ds(c0, PATCH_W)]
                         gtex_vmem[c, pl.ds(t0r, SUB_H),
@@ -603,7 +608,7 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                             wg, wx,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=PRECISION)
+                            precision=GSUB_PRECISION)
                         cur = gtex_vmem[c, pl.ds(t0r, SUB_H),
                                         pl.ds(c0, PATCH_W)]
                         gtex_vmem[c, pl.ds(t0r, SUB_H),
