@@ -122,6 +122,35 @@ def _band_excess(scene, pos_clip, h, w, cap, reverse) -> int:
                                 cap, reverse))
 
 
+def health_warnings(config: FitConfig, health: dict) -> list[str]:
+    """Warning lines for a measured health dict (no-silent-caps doctrine).
+
+    Pure so tests can corrupt a scene on purpose and assert the exact
+    warnings fire (the 532k-entries-out-of-window incident in
+    BENCHMARKS.md must be structurally unrepeatable): global-list
+    overflow, pair_cap overflow, and banded-fold band overflow.
+    """
+    warnings = []
+    if health["global_overflow"] > 0:
+        warnings.append(
+            f"WARNING: raster global-list overflow "
+            f"({health['global_overflow']} triangles dropped)")
+    if config.pair_cap and health["n_valid_pairs"] > config.pair_cap:
+        warnings.append(
+            f"WARNING: bin entries ({health['n_valid_pairs']}) "
+            f"exceed pair_cap ({config.pair_cap}) — gradient "
+            "contributions are being dropped")
+    impl = os.environ.get("FPC_FOLD_IMPL")
+    exc = {"banded": health["fold_band_excess"],
+           "banded_rev": health["fold_band_excess_rev"]}.get(impl)
+    if exc is not None and exc > 0:
+        warnings.append(
+            f"WARNING: triangle-id band exceeds the banded-fold "
+            f"window by {exc} — gradient contributions are "
+            "being dropped (restart with FPC_FOLD_IMPL=segment)")
+    return warnings
+
+
 def autotune_caps(config: FitConfig, scene, params) -> FitConfig:
     """Resolve pair_cap == 0 (auto) from measured scene statistics.
 
@@ -238,27 +267,15 @@ def fit_take(config: FitConfig, resume: bool = True):
         # Periodic cap-health re-measurement at the *current* geometry —
         # a fit can move/scale the mesh until bins overflow the caps;
         # never train silently with clipped gradients (VERDICT item 5).
-        if config.raster_impl != "scan" and i % health_interval < max(
-                config.steps_per_dispatch, 1):
+        # The scan impl has no caps, but an explicitly set pair_cap is
+        # still monitored (lets CPU tests exercise the warning path).
+        if ((config.raster_impl != "scan" or config.pair_cap)
+                and i % health_interval < max(
+                    config.steps_per_dispatch, 1)):
             health = measure_raster_health(config, scene, st.params)
             record.update(health)
-            if health["global_overflow"] > 0:
-                print(f"WARNING: raster global-list overflow "
-                      f"({health['global_overflow']} triangles dropped)",
-                      flush=True)
-            if config.pair_cap and (health["n_valid_pairs"]
-                                    > config.pair_cap):
-                print(f"WARNING: bin entries ({health['n_valid_pairs']}) "
-                      f"exceed pair_cap ({config.pair_cap}) — gradient "
-                      "contributions are being dropped", flush=True)
-            impl = os.environ.get("FPC_FOLD_IMPL")
-            exc = {"banded": health["fold_band_excess"],
-                   "banded_rev": health["fold_band_excess_rev"]}.get(impl)
-            if exc is not None and exc > 0:
-                print(f"WARNING: triangle-id band exceeds the banded-fold "
-                      f"window by {exc} — gradient contributions are "
-                      "being dropped (restart with FPC_FOLD_IMPL=segment)",
-                      flush=True)
+            for warning in health_warnings(config, health):
+                print(warning, flush=True)
         metrics_file.write(_json.dumps(record) + "\n")
         metrics_file.flush()
 

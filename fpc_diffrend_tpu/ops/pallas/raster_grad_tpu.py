@@ -530,6 +530,10 @@ def fold_band_excess(sorted_tri: Array, n_live, pair_cap: int,
     """
     P = min(pair_cap, sorted_tri.shape[0])
     P = (P // CHUNK) * CHUNK
+    if P == 0:
+        # sub-chunk cap (health probes with tiny pair_cap): no chunks,
+        # nothing can overflow the window
+        return jnp.int32(-(1 << 30))
     n_chunks = P // CHUNK
     live = jnp.arange(P, dtype=jnp.int32) < n_live
     tri = jnp.where(live, sorted_tri[:P], -1)

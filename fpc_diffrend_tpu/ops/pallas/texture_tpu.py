@@ -161,6 +161,15 @@ _TEX_IMPL = __import__("os").environ.get("FPC_TEX_IMPL", "hat")
 #             onehot falls back to rowrmw.
 _TEX_BWD = __import__("os").environ.get("FPC_TEX_BWD", "rowrmw")
 TSUB = int(__import__("os").environ.get("FPC_TEX_TSUB", "32"))
+if _TEX_BWD == "tileacc":
+    # An unaligned TSUB breaks the pl.multiple_of(t0t, TILE_H) hint
+    # (unaligned dynamic sublane slice -> Mosaic error or miscompile)
+    # and TSUB > PATCH_H makes he - TSUB negative for minimum-padded
+    # textures; TSUB < SUB_H would mask out every row.
+    if TSUB % TILE_H != 0 or not (SUB_H <= TSUB <= PATCH_H):
+        raise ValueError(
+            f"FPC_TEX_TSUB={TSUB} invalid for FPC_TEX_BWD=tileacc: "
+            f"need TSUB % {TILE_H} == 0 and {SUB_H} <= TSUB <= {PATCH_H}")
 
 # FPC_TEX_ROWS=fori rolls the backward's 8-row loop into a
 # lax.fori_loop (dynamic sublane slices; ~8x smaller Mosaic program per
@@ -586,18 +595,20 @@ def _bwd_kernel(C: int, gx: int, gy: int, pgx: int, mt: int,
                                   pl.ds(c0, PATCH_W)] = cur + gsub
                     elif tileacc:
                         # gsub32 = (wy_t * g) @ wx^T at tile-relative rows
+                        # (GSUB_PRECISION so FPC_TEX_PREC=fast2 has the
+                        # same texel-gradient semantics as rowrmw/fori)
                         accs[c] = accs[c] + jax.lax.dot_general(
                             wy_t * g, wx,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=PRECISION)            # (TSUB, PW)
+                            precision=GSUB_PRECISION)       # (TSUB, PW)
 
                         @pl.when(jnp.logical_not(fits))
                         def _(wg=wg, wx=wx, t0r=t0r, c0=c0, c=c):
                             gsub = jax.lax.dot_general(
                                 wg, wx, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=PRECISION)
+                                precision=GSUB_PRECISION)
                             cur = gtex_vmem[c, pl.ds(t0r, SUB_H),
                                             pl.ds(c0, PATCH_W)]
                             gtex_vmem[c, pl.ds(t0r, SUB_H),

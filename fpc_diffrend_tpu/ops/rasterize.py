@@ -506,9 +506,18 @@ def rasterize_texture_sepaa(data, aux, tex, bins, height: int, width: int,
     :return: (idbuf_p (ph, pw) i32, aa (C, ph, pw) antialiased planes,
               pre-background-composite).
     """
-    out, _res = _rasterize_texture_sepaa_fwd(data, aux, tex, bins, height,
-                                             width, interpret, pair_cap)
-    return out
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
+        _aa_fwd_from_packed, _pack_planes)
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        fused_rasterize_from_bins)
+
+    idbuf, payload, _entry, _extra, colour = fused_rasterize_from_bins(
+        bins, height, width, interpret, padded=True, tex=tex)
+    ph, pw = idbuf.shape
+    packed = _pack_planes(colour, idbuf, payload)
+    aa = _aa_fwd_from_packed(packed, len(colour), height, width,
+                             interpret)[:, :ph, :pw]
+    return idbuf, aa
 
 
 def _rasterize_texture_sepaa_fwd(data, aux, tex, bins, height, width,

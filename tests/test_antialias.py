@@ -8,6 +8,13 @@ import fpc_diffrend_tpu.ops.rasterize as r
 from fpc_diffrend_tpu.data import obj as objlib
 from fpc_diffrend_tpu.ops.antialias import antialias
 
+import pytest
+
+# interpret-mode Pallas kernel tests dominate suite runtime (round-4
+# VERDICT #8): run with `pytest -m slow`; the default fast set keeps
+# scan-path parity + golden coverage for every kernel.
+pytestmark = pytest.mark.slow
+
 
 def tri_scene(shift_x=0.0):
     pos = jnp.asarray(np.array([

@@ -166,6 +166,112 @@ def test_fit_take_crash_leaves_resumable_checkpoint(take_dirs, tmp_path):
     assert np.isfinite(np.asarray(state.params["tex"])).all()
 
 
+def _adversarial_scene(n_tall: int, n_small: int = 0, res: int = 128):
+    """A scene purpose-built to overflow the raster caps: ``n_tall`` thin
+    triangles each spanning > WINDOW_Y tile rows (oversized -> global
+    list) plus ``n_small`` window-fitting ones (binned pairs), rendered
+    through an identity camera (clip == vertex space)."""
+    from fpc_diffrend_tpu.fit.scene import build_scene
+
+    rng = np.random.default_rng(7)
+    n = n_tall + n_small
+    xs = rng.uniform(-0.9, 0.9, size=n).astype(np.float32)
+    y0 = rng.uniform(-0.95, 0.2, size=n).astype(np.float32)
+    # tall: spans ~0.7 ndc = ~45 px at 128^2 > WINDOW_Y * TILE_H = 32;
+    # small: ~0.1 ndc = ~6 px, fits the binning window
+    span = np.concatenate([np.full(n_tall, 0.7), np.full(n_small, 0.1)]
+                          ).astype(np.float32)
+    verts = np.zeros((n * 3, 3), np.float32)
+    verts[0::3] = np.stack([xs, y0, np.zeros(n)], axis=1)
+    verts[1::3] = np.stack([xs + 0.01, y0, np.zeros(n)], axis=1)
+    verts[2::3] = np.stack([xs, y0 + span, np.zeros(n)], axis=1)
+    faces = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    uv = np.tile(np.array([[0.2, 0.2], [0.8, 0.2], [0.5, 0.8]],
+                          np.float32), (n, 1))
+    mesh = objlib.MeshData(vertices=verts.reshape(-1), uv=uv, faces=faces,
+                           fuv=faces)
+    proj = np.eye(4, dtype=np.float32)[None]
+    mv = np.eye(4, dtype=np.float32)[None]
+    scene = build_scene(mesh, proj, mv)
+    config = FitConfig(max_iter=2, resolution=(res, res),
+                       texshape=(8, 8, 1), mode="free", cam_idxs=(0,),
+                       batch_size=1, raster_impl="pallas")
+    from fpc_diffrend_tpu.fit import state as state_mod
+
+    tex = np.full((8, 8, 1), 0.5, np.float32)
+    params = state_mod.init_params(config, 2, scene.v_base.shape[0],
+                                   scene.deltas.shape[1], tex,
+                                   scene.n_cameras)
+    return config, scene, params
+
+
+def test_global_list_overflow_aborts_autotune():
+    """> MAX_GLOBAL oversized triangles must ABORT cap autotune rather
+    than train with silently dropped triangles (no-silent-caps)."""
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import MAX_GLOBAL
+
+    config, scene, params = _adversarial_scene(MAX_GLOBAL + 76)
+    health = fit_api.measure_raster_health(config, scene, params)
+    assert health["global_overflow"] > 0
+    with pytest.raises(RuntimeError, match="global-list overflow"):
+        fit_api.autotune_caps(config, scene, params)
+    assert "WARNING: raster global-list overflow" in "\n".join(
+        fit_api.health_warnings(config, health))
+
+
+def test_health_warnings_pair_cap_and_band(monkeypatch):
+    """Corrupted caps -> the exact WARNING lines (pair_cap overflow and
+    banded-fold band overflow; BENCHMARKS.md 532k-entry incident)."""
+    import dataclasses
+
+    config, scene, params = _adversarial_scene(0, n_small=8)
+    health = fit_api.measure_raster_health(config, scene, params)
+    assert health["n_valid_pairs"] > 2
+    small = dataclasses.replace(config, pair_cap=2)
+    msgs = "\n".join(fit_api.health_warnings(small, health))
+    assert "exceed pair_cap" in msgs
+
+    monkeypatch.setenv("FPC_FOLD_IMPL", "banded")
+    corrupt = dict(health, fold_band_excess=532000)
+    msgs = "\n".join(fit_api.health_warnings(config, corrupt))
+    assert "banded-fold window" in msgs and "532000" in msgs
+    monkeypatch.delenv("FPC_FOLD_IMPL")
+    assert fit_api.health_warnings(config, dict(health, pair_cap=0)) == []
+
+
+def test_fit_surfaces_cap_overflow_warning(take_dirs, tmp_path, capsys):
+    """End-to-end: a fit whose pair_cap is too small for the scene must
+    PRINT the overflow warning from the periodic health check — the
+    silent-gradient-corruption class must be loud (VERDICT round-4 #7)."""
+    out_dir = str(tmp_path / "out_ovf")
+    # the fixture's quad sits at the world origin, which the baked +170
+    # y-offset (load_calibration / reference fit.py:545) pushes off
+    # screen — shift this mesh to y ~ -170 so it actually rasterizes
+    verts = np.array([[-15, -185, 0], [15, -185, 0], [15, -155, 0],
+                      [-15, -155, 0]], np.float32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    vis_mesh = take_dirs / "basemesh_vis.obj"
+    objlib.save_obj(str(vis_mesh), verts, uv, faces)
+    bl_dir = take_dirs / "blendshapes_vis"
+    bl_dir.mkdir()
+    for i in range(2):
+        objlib.save_obj(str(bl_dir / f"bs{i}.obj"), verts + 0.1 * i,
+                        uv, faces)
+    config = FitConfig(
+        max_iter=2, lr_base=1e-5, lr_t=1e-5, lr_q=1e-6,
+        basemeshpath=str(vis_mesh),
+        localblpath=str(bl_dir),
+        imdir=str(take_dirs / "take"),
+        calibpath=str(take_dirs / "calibration.json"),
+        out_dir=out_dir, resolution=RES, texshape=(8, 8, 1),
+        mode="prior", cam_idxs=(0,), batch_size=1, raster_impl="scan",
+        pair_cap=1, log_interval=1)
+    fit_api.fit_take(config, resume=False)
+    out = capsys.readouterr().out
+    assert "exceed pair_cap" in out
+
+
 def test_checkpoint_restore_is_bit_exact(take_dirs, tmp_path):
     """save/restore roundtrip of the full TrainState (params, optimizer
     moments, step) is bit-exact — a resumed fit continues from EXACTLY

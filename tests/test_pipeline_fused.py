@@ -14,6 +14,13 @@ from fpc_diffrend_tpu.data import obj as objlib
 from fpc_diffrend_tpu.ops.pipeline import render
 from fpc_diffrend_tpu.utils.debugging import pallas_interpret_mode
 
+import pytest
+
+# interpret-mode Pallas kernel tests dominate suite runtime (round-4
+# VERDICT #8): run with `pytest -m slow`; the default fast set keeps
+# scan-path parity + golden coverage for every kernel.
+pytestmark = pytest.mark.slow
+
 
 def scene(rng):
     # deformed grid dome, the capture workload shape

@@ -8,6 +8,12 @@ import pytest
 import fpc_diffrend_tpu.ops.rasterize as r
 
 
+# interpret-mode Pallas kernel tests dominate suite runtime (round-4
+# VERDICT #8): run with `pytest -m slow`; the default fast set keeps
+# scan-path parity + golden coverage for every kernel.
+pytestmark = pytest.mark.slow
+
+
 def random_scene(rng, n_tris=30, depth_spread=True):
     v = rng.uniform(-1.1, 1.1, size=(n_tris * 3, 2)).astype(np.float32)
     z = (rng.uniform(-0.8, 0.8, size=(n_tris * 3, 1)).astype(np.float32)

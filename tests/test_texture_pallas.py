@@ -7,6 +7,13 @@ import jax.numpy as jnp
 from fpc_diffrend_tpu.ops.pallas.texture_tpu import texture_bilinear_pallas
 from fpc_diffrend_tpu.ops.texture import texture
 
+import pytest
+
+# interpret-mode Pallas kernel tests dominate suite runtime (round-4
+# VERDICT #8): run with `pytest -m slow`; the default fast set keeps
+# scan-path parity + golden coverage for every kernel.
+pytestmark = pytest.mark.slow
+
 
 def smooth_uv(h, w, rng, scale=0.8, offset=0.1):
     """Coherent uv field (the workload regime the kernel targets)."""
@@ -159,4 +166,27 @@ def test_tileacc_backward_matches_rowrmw(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(gt_tile), np.asarray(gt_row),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(gc_tile), np.asarray(gc_row),
+                               atol=1e-5)
+
+
+def test_fori_backward_matches_unroll(rng, monkeypatch):
+    """FPC_TEX_ROWS=fori gradient parity vs the unrolled default (the
+    rolled 8-row loop with one-hot row extraction and fori-carried gs/gt
+    images — ADVICE round-4: previously untested)."""
+    import fpc_diffrend_tpu.ops.pallas.texture_tpu as ttpu
+
+    tex = jnp.asarray(rng.uniform(size=(128, 64, 1)).astype(np.float32))
+    texc = smooth_uv(24, 128, rng, scale=0.7, offset=0.12)
+    gimg = jnp.asarray(rng.normal(size=(24, 128, 1)).astype(np.float32))
+
+    def loss(tex, texc):
+        return jnp.sum(texture_bilinear_pallas(tex, texc, True) * gimg)
+
+    monkeypatch.setattr(ttpu, "_TEX_ROWS", "unroll")
+    gt_u, gc_u = jax.grad(loss, argnums=(0, 1))(tex, texc)
+    monkeypatch.setattr(ttpu, "_TEX_ROWS", "fori")
+    gt_f, gc_f = jax.grad(loss, argnums=(0, 1))(tex, texc)
+    np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_u),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_u),
                                atol=1e-5)
