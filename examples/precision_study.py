@@ -78,7 +78,7 @@ def build_take(args):
         max_iter=args.steps, lr_base=5e-4, lr_t=8e-3, lr_q=1e-5,
         resolution=res, texshape=(256, 256, 1), mode="prior",
         cam_idxs=tuple(range(len(calib_names))), batch_size=8,
-        log_interval=max(1, args.steps // 40),
+        log_interval=max(1, args.steps // 40), seed=args.seed,
         steps_per_dispatch=25, weight_laplacian=10.0)
 
     gt = state_mod.init_params(config, args.frames, scene.v_base.shape[0],
@@ -154,6 +154,10 @@ def main():
     ap.add_argument("--child", default=None,
                     help="internal: run one config (tag) in-process")
     ap.add_argument("--configs", default=",".join(CONFIGS))
+    ap.add_argument("--seed", type=int, default=0,
+                    help="fit sampling seed (a second exact run at a "
+                         "different seed measures SGD trajectory noise — "
+                         "the baseline the knob deltas are judged against)")
     args = ap.parse_args()
 
     if args.child:
@@ -168,7 +172,7 @@ def main():
         cmd = [sys.executable, os.path.abspath(__file__), "--child", tag,
                "--res", str(args.res), "--steps", str(args.steps),
                "--cams", str(args.cams), "--frames", str(args.frames),
-               "--out", args.out]
+               "--out", args.out, "--seed", str(args.seed)]
         print(f"=== {tag}: {CONFIGS[tag]} ===", flush=True)
         r = subprocess.run(cmd, env=env, timeout=3600)
         if r.returncode != 0:

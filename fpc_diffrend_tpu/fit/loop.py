@@ -104,11 +104,47 @@ def resolve_aa_max_pairs(config: FitConfig) -> int | None:
     return config.aa_max_pairs
 
 
+def render_batch(config: FitConfig, scene: Scene, params: dict,
+                 cam_idx, frame_idx) -> tuple[Array, Array]:
+    """Render a (B,) batch of samples: the stacked-batch single-kernel-pass
+    pipeline when eligible and selected (FPC_BATCH=stack), else vmap of
+    :func:`render_sample` (vmap lowers each Pallas call to a B-sized
+    while loop + per-sample slice copies — round-4b trace item 3d).
+
+    :return: (imgs (B, H, W, C), verts3 (B, V, 3))
+    """
+    import os
+
+    from fpc_diffrend_tpu.ops.pipeline import (render_batch_stacked,
+                                               stacked_batch_eligible)
+
+    if (os.environ.get("FPC_BATCH", "vmap") == "stack"
+            and stacked_batch_eligible(config.resolution,
+                                       tuple(config.texshape),
+                                       config.enable_mip,
+                                       config.raster_impl)):
+        pos_clip_b, verts3 = jax.vmap(
+            lambda c, f: sample_clip_positions(config, scene, params, c, f)
+        )(cam_idx, frame_idx)
+        inc = (scene.inc
+               if os.environ.get("FPC_SETUP_VJP", "scatter") == "gather"
+               and scene.vtx_inc_idx is not None else (None, None))
+        imgs = render_batch_stacked(
+            pos_clip_b, scene.faces, scene.uv, scene.uv_idx,
+            params["tex"], tuple(config.resolution), scene.face_neighbors,
+            pair_cap=config.pair_cap if config.pair_cap > 0 else None,
+            inc=inc,
+            interpret=os.environ.get("FPC_INTERPRET", "0") == "1")
+        return imgs, verts3
+    return jax.vmap(
+        lambda c, f: render_sample(config, scene, params, c, f)
+    )(cam_idx, frame_idx)
+
+
 def loss_fn(params: dict, config: FitConfig, scene: Scene, batch: Batch,
             step) -> tuple[Array, dict]:
-    imgs, verts3 = jax.vmap(
-        lambda c, f: render_sample(config, scene, params, c, f)
-    )(batch.cam_idx, batch.frame_idx)
+    imgs, verts3 = render_batch(config, scene, params, batch.cam_idx,
+                                batch.frame_idx)
 
     pix = jax.vmap(losses_mod.photometric_loss)(batch.ref, imgs).mean()
     # zero-weight regularizers are skipped structurally (config is static):

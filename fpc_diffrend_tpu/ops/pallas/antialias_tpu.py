@@ -165,12 +165,23 @@ def _pass_args(cur, nbr, direction, ti, tj, C):
     return cur, b, x, y, x, y + 1.0
 
 
-def _pair_masks(ti, tj, height, width):
+def _pair_masks(ti, tj, height, width, sample_ph=None):
+    """Pair-validity masks. ``sample_ph`` (stacked-batch mode): the image
+    is B samples stacked vertically at ``sample_ph``-row pitch and
+    ``height`` is the per-sample REAL height — vertical pairs are valid
+    only within a sample's live rows (masking both the pad rows and the
+    spurious pair across each sample boundary)."""
     x, y = _centers(ti, tj)
-    return {"right": (x - 0.5) < width - 1, "down": (y - 0.5) < height - 1}
+    if sample_ph is None:
+        down = (y - 0.5) < height - 1
+    else:
+        row = (ti * TILE_H
+               + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0))
+        down = jax.lax.rem(row, sample_ph) < height - 1
+    return {"right": (x - 0.5) < width - 1, "down": down}
 
 
-def _fwd_kernel(C: int, gx: int, height: int, width: int,
+def _fwd_kernel(C: int, gx: int, height: int, width: int, sample_ph,
                 cur_ref, right_ref, down_ref, out_ref,
                 hcarry, vcarry):
     """Each pair is evaluated ONCE, at its a-side (left/top) pixel; the
@@ -182,7 +193,7 @@ def _fwd_kernel(C: int, gx: int, height: int, width: int,
     tj = pl.program_id(1)
     P = _C0 + C
     cur = [cur_ref[k] for k in range(P)]
-    masks = _pair_masks(ti, tj, height, width)
+    masks = _pair_masks(ti, tj, height, width, sample_ph)
 
     acc = [cur[_C0 + c] for c in range(C)]
 
@@ -214,7 +225,7 @@ def _fwd_kernel(C: int, gx: int, height: int, width: int,
         out_ref[c] = acc[c]
 
 
-def _bwd_kernel(C: int, gx: int, height: int, width: int,
+def _bwd_kernel(C: int, gx: int, height: int, width: int, sample_ph,
                 cur_ref, right_ref, down_ref,
                 gout_cur_ref, gout_right_ref, gout_down_ref,
                 gcol_ref, gverts_ref, hcarry, vcarry):
@@ -226,7 +237,7 @@ def _bwd_kernel(C: int, gx: int, height: int, width: int,
     P = _C0 + C
     D = 6 + C
     cur = [cur_ref[k] for k in range(P)]
-    masks = _pair_masks(ti, tj, height, width)
+    masks = _pair_masks(ti, tj, height, width, sample_ph)
 
     gcol = [gout_cur_ref[c] for c in range(C)]     # identity term
     gv = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(6)]
@@ -405,15 +416,18 @@ def _halo_row(ref, P, ti):
     return [jnp.sum(ref[k] * oh, axis=0, keepdims=True) for k in range(P)]
 
 
-def _aa_fwd_from_packed(packed, C, h, w, interpret):
-    """Raw (C, ph, pw) plane-major kernel output (pads preserved)."""
+def _aa_fwd_from_packed(packed, C, h, w, interpret, sample_ph=None):
+    """Raw (C, ph, pw) plane-major kernel output (pads preserved).
+
+    :param sample_ph: stacked-batch row pitch (``h`` = per-sample real
+        height); None = single image."""
     ph, pw = packed.shape[1], packed.shape[2]
     gy, gx = ph // TILE_H, pw // TILE_W
     P = _C0 + C
 
     rh, dh = _halos(packed)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, C, gx, h, w),
+        functools.partial(_fwd_kernel, C, gx, h, w, sample_ph),
         grid=(gy, gx),
         in_specs=_specs(P, gy, gx),
         out_specs=pl.BlockSpec((C, TILE_H, TILE_W), lambda i, j: (0, i, j)),
@@ -461,7 +475,7 @@ def _aa_vjp_bwd(interpret, res, g):
     rh, dh = _halos(packed)
     grh, gdh = _halos(gout)
     gcol, gverts = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, gx, h, w),
+        functools.partial(_bwd_kernel, C, gx, h, w, None),
         grid=(gy, gx),
         in_specs=_specs(P, gy, gx) + _specs(C, gy, gx),
         out_specs=[gspec,
@@ -529,7 +543,8 @@ def _aa_planes_vjp_bwd(h, w, interpret, res, g):
                                      n_payload, interpret)
 
 
-def aa_planes_bwd_core(packed, g, h, w, C, ph, pw, interpret):
+def aa_planes_bwd_core(packed, g, h, w, C, ph, pw, interpret,
+                       sample_ph=None):
     """(gcolour planes tuple, gverts (6, ph, pw)) from the packed residual
     and the (C, ph, pw) output cotangent — no gpayload materialization;
     the combined raster+texture+AA custom VJP stacks the cotangent
@@ -547,7 +562,7 @@ def aa_planes_bwd_core(packed, g, h, w, C, ph, pw, interpret):
     rh, dh = _halos(packed)
     grh, gdh = _halos(gout)
     gcol, gverts = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, gx, h, w),
+        functools.partial(_bwd_kernel, C, gx, h, w, sample_ph),
         grid=(gy, gx),
         in_specs=_specs(P, gy, gx) + _specs(C, gy, gx),
         out_specs=[gspec,

@@ -552,7 +552,7 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
                       extra: Array, g_payload: Array,
                       n_tris: int, height: int, width: int,
                       pair_cap: int | None = None,
-                      interpret: bool = False):
+                      interpret: bool = False, stacked: bool = False):
     """Per-triangle gradients from per-pixel payload cotangents.
 
     :param entry: (H, W) f32 winner bin-entry index from the fused
@@ -658,6 +658,12 @@ def pixel_grad_pallas(bins: Bins, entry: Array, u: Array, v: Array,
     import os
 
     fold_impl = os.environ.get("FPC_FOLD_IMPL", "segment")
+    if stacked and fold_impl == "banded_rev":
+        # reversing the stacked bin order would interleave samples'
+        # descending id bands across the whole window — unbandable.
+        # Descending-id scenes use the face-order flip instead
+        # (fit.scene.band_reorder descending=True via autotune).
+        fold_impl = "segment"
     if fold_impl in ("banded", "banded_rev"):
         # Sliding-window Pallas fold (see banded_fold). The overflow
         # counter is folded into the result as a zero contribution when

@@ -642,6 +642,169 @@ def bin_triangles(data: Array, tile_bbox: Array, valid: Array,
                 inv_pos=inv_pos)
 
 
+# ---------------------------------------------------------------------------
+# Stacked-batch binning (FPC_BATCH=stack)
+# ---------------------------------------------------------------------------
+#
+# vmap lowers each Pallas call to a batch-sized while loop (~8 ms of loop
+# overhead + ~6 ms of per-sample dynamic-slice glue per headline step —
+# round-4b device trace). Instead of batching the KERNELS, the B samples
+# are stacked VERTICALLY into one (B*ph, pw) virtual image:
+#
+#   * each sample's triangle records are y-shifted into its band of the
+#     stack (c' = c - dy*b per edge plane, zc' = zc - dy*zy, aux screen
+#     y-corners + dy) — a differentiable XLA transform, so autodiff
+#     unshifts the record gradients with no manual chain rule;
+#   * ONE key sort with global tile keys (tile_g * T + tri) bins all
+#     samples into a single compacted live prefix — bin_start /
+#     chunk_schedule / the grad kernel's live-prefix masking all hold
+#     verbatim, and the per-sample entry caps pool into one global cap;
+#   * the oversized-triangle lists compact into one MAX_GLOBAL buffer:
+#     after the y-shift a triangle of sample b is geometrically disjoint
+#     from every other sample's rows, so cross-sample coverage tests in
+#     the kernel are no-ops by construction.
+#
+# Every kernel then runs ONCE on the stacked image (grid (B*gy, pgx))
+# with an unchanged body; the texture backward additionally accumulates
+# gtex across the whole batch in its VMEM scratch (one flush instead of
+# B HBM roundtrips + an XLA cross-batch sum).
+
+def shift_records_stacked(data_b: Array, aux_b: Array, sample_ph: int):
+    """Differentiable per-sample y-shift into the stacked frame.
+
+    ``data_b``/``aux_b`` are the vmapped (B, T, 16) triangle_setup /
+    aux_records outputs at LOCAL (per-sample) screen coordinates;
+    sample b's pixels live at stacked rows [b*sample_ph, (b+1)*sample_ph).
+    A plane l = a x + b y_l + c evaluated at y_g = y_l + dy needs
+    c' = c - dy * b; screen-corner y values shift by +dy.
+    """
+    B = data_b.shape[0]
+    dy = (jnp.arange(B, dtype=jnp.float32) * sample_ph)[:, None]
+    d = data_b
+    data_s = jnp.stack(
+        [d[..., 0], d[..., 1], d[..., 2] - dy * d[..., 1],
+         d[..., 3], d[..., 4], d[..., 5] - dy * d[..., 4],
+         d[..., 6], d[..., 7], d[..., 8] - dy * d[..., 7],
+         d[..., 9], d[..., 10], d[..., 11] - dy * d[..., 10],
+         d[..., 12], d[..., 13], d[..., 14], d[..., 15]], axis=-1)
+    a = aux_b
+    aux_s = jnp.stack(
+        [a[..., 0], a[..., 1], a[..., 2], a[..., 3], a[..., 4], a[..., 5],
+         a[..., 6], a[..., 7] + dy, a[..., 8], a[..., 9] + dy,
+         a[..., 10], a[..., 11] + dy,
+         a[..., 12], a[..., 13], a[..., 14], a[..., 15]], axis=-1)
+    return data_s, aux_s
+
+
+def bin_scene_stacked(pos_clip_b: Array, faces: Array, height: int,
+                      width: int, aux_b: Array, entry_cap: int | None = None,
+                      vtx_inc=None):
+    """Stacked-batch triangle setup + one-sort binning (see section note).
+
+    :param pos_clip_b: (B, V, 4) clip positions per sample.
+    :param aux_b: (B, T, 16) LOCAL aux records (aux_records per sample).
+    :param entry_cap: per-sample cap; the stacked prefix cap is B x it
+        (samples pool the slack).
+    :return: (data_s (B, T, 16) shifted differentiable records,
+              aux_s (B, T, 16) shifted aux, Bins over the stacked image —
+              feed ``fused_rasterize_from_bins(bins, B*ph, width)``).
+        Bins.sorted_tri carries STACKED triangle ids (b*T + t, one live
+        prefix); Bins.global_idx likewise.
+    """
+    B, _, _ = pos_clip_b.shape
+    T = faces.shape[0]
+    ph, pw = pad_resolution(height, width)
+    gx = pw // TILE_W
+    gy_s = ph // TILE_H
+    nt_s = gy_s * gx
+    n_tiles = B * nt_s
+    if (n_tiles + 1) * T >= (1 << 31):
+        raise ValueError(
+            f"stacked binning key overflow: {n_tiles + 1} tiles x {T} "
+            "triangles exceeds int32 keys; use the vmapped path")
+
+    data_b, bbox_b, valid_b = jax.vmap(
+        lambda pc: triangle_setup(pc, faces, height, width,
+                                  vtx_inc=vtx_inc))(pos_clip_b)
+    data_s, aux_s = shift_records_stacked(data_b, aux_b, ph)
+
+    tx0, ty0l = bbox_b[..., 0], bbox_b[..., 1]
+    tx1, ty1l = bbox_b[..., 2], bbox_b[..., 3]
+    row0 = (jnp.arange(B, dtype=jnp.int32) * gy_s)[:, None]
+    ty0 = ty0l + row0
+    ty1 = ty1l + row0
+    wx = tx1 - tx0 + 1
+    wy = ty1 - ty0 + 1
+    fits = (wx <= WINDOW_X) & (wy <= WINDOW_Y)
+
+    K = WINDOW_Y * WINDOW_X
+    k = jnp.arange(K, dtype=jnp.int32)
+    dx = (k % WINDOW_X)[None, None, :]
+    dyk = (k // WINDOW_X)[None, None, :]
+    tx = tx0[..., None] + dx
+    ty = ty0[..., None] + dyk
+    pair_valid = ((valid_b & fits)[..., None]
+                  & (dx < wx[..., None]) & (dyk < wy[..., None]))
+    tile_ids = jnp.where(pair_valid, ty * gx + tx, n_tiles)   # (B, T, K)
+
+    P_s = T * K
+    if entry_cap is not None and entry_cap < P_s:
+        cap = max(int(entry_cap), 1)
+        cap = (cap + CHUNK - 1) // CHUNK * CHUNK
+        P_s = min(cap, P_s)
+    P = B * P_s
+
+    # one global sort: key = tile_g * T + tri_local groups by stacked
+    # tile with tri ascending inside each bin (same invariant as
+    # _place_sort; samples share one live prefix)
+    tri_l = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[None, :, None], tile_ids.shape)
+    keys = jnp.sort((tile_ids * T + tri_l).reshape(-1))[:P]
+    sorted_tile = keys // T
+    bin_start = jnp.searchsorted(
+        sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    # stacked triangle id b*T + t (dead entries -> sentinel B*T)
+    b_of = jnp.clip(sorted_tile // nt_s, 0, B - 1)
+    sorted_tri = jnp.where(sorted_tile < n_tiles,
+                           b_of * T + keys % T, B * T)
+
+    rec = jnp.concatenate(
+        [jax.lax.stop_gradient(data_s), jax.lax.stop_gradient(aux_s)],
+        axis=-1).reshape(B * T, REC)
+    sorted_rec = rec[jnp.minimum(sorted_tri, B * T - 1)]
+    pad_rows = CHUNK + (-sorted_rec.shape[0]) % CHUNK
+    sorted_rec = jnp.concatenate(
+        [sorted_rec, jnp.zeros((pad_rows, REC), sorted_rec.dtype)], axis=0)
+    sorted_rec_t = sorted_rec.T                              # (REC, P+pad)
+
+    # compacted global (oversized) list across samples
+    big = valid_b & ~fits                                    # (B, T)
+    gid = (jnp.arange(B, dtype=jnp.int32)[:, None] * T
+           + jnp.arange(T, dtype=jnp.int32)[None, :])
+    big_key = jnp.where(big, gid, B * T).reshape(-1)
+    big_idx = jnp.sort(jnp.concatenate(
+        [big_key, jnp.full((MAX_GLOBAL,), B * T, jnp.int32)]))[:MAX_GLOBAL]
+    n_global = jnp.minimum(jnp.sum(big), MAX_GLOBAL).astype(jnp.int32)
+    safe_big = jnp.minimum(big_idx, B * T - 1)
+    grow = (big_idx < B * T)[:, None]
+    global_rec_t = jnp.where(grow, rec[safe_big], 0.0).T
+
+    ty0f = ty0.reshape(-1)
+    ty1f = ty1.reshape(-1)
+    g_ty0 = jnp.where(big_idx < B * T, ty0f[safe_big], B * gy_s)
+    g_ty1 = jnp.where(big_idx < B * T, ty1f[safe_big], -1)
+    blk_min = jnp.min(g_ty0.reshape(-1, CHUNK), axis=1)
+    blk_max = jnp.max(g_ty1.reshape(-1, CHUNK), axis=1)
+    gblk_ty = jnp.stack([blk_min, blk_max]).astype(jnp.int32)
+
+    bins = Bins(sorted_rec_t=sorted_rec_t, bin_start=bin_start,
+                global_rec_t=global_rec_t, n_global=n_global.reshape(1),
+                sorted_tri=sorted_tri, global_idx=big_idx, gblk_ty=gblk_ty,
+                inv_pos=None)
+    return data_s, aux_s, bins
+
+
 # ----------------------------------------------------------------------------
 # The kernels
 # ----------------------------------------------------------------------------

@@ -221,6 +221,59 @@ def render_from_clip(pos_clip: Array, pos_idx: Array, uv: Array,
     return colour
 
 
+def stacked_batch_eligible(config_resolution, tex_shape, enable_mip: bool,
+                           impl: str) -> bool:
+    """Whether the FPC_BATCH=stack pipeline can render this config: the
+    fused pallas sepaa path with a VMEM-resident texture and no mip —
+    exactly the production configuration (reference main.py defaults)."""
+    import os
+
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import fits_resident
+
+    resolved = impl
+    if resolved == "auto":
+        resolved = "pallas" if jax.default_backend() == "tpu" else "scan"
+    th, tw = tex_shape[0], tex_shape[1]
+    c = tex_shape[2] if len(tex_shape) == 3 else 1
+    return (resolved == "pallas" and not enable_mip
+            and fits_resident(th, tw, c, "wrap")
+            and os.environ.get("FPC_FUSE_TEX", "1") != "0"
+            and os.environ.get("FPC_AA_FUSE", "0") != "1")
+
+
+def render_batch_stacked(pos_clip_b: Array, pos_idx: Array, uv: Array,
+                         uv_idx: Array, tex: Array,
+                         resolution: Tuple[int, int], face_neighbors: Array,
+                         background: float = BACKGROUND,
+                         pair_cap: int | None = None,
+                         inc=(None, None),
+                         interpret: bool = False) -> Array:
+    """Batch render via the stacked-batch fused pipeline (FPC_BATCH=stack).
+
+    One pass of each Pallas kernel over the B samples stacked vertically
+    (rasterize_tpu.bin_scene_stacked) — functionally identical to
+    vmapping :func:`render_from_clip` over the batch on the production
+    (fused sepaa) path, without the per-sample while-loop + slice glue
+    vmap lowers Pallas calls to.
+
+    :param pos_clip_b: (B, V, 4) clip-space positions per sample.
+    :return: (B, H, W, C) images in [0, 1].
+    """
+    from fpc_diffrend_tpu.ops.rasterize import (
+        rasterize_pallas_textured_sepaa_stacked)
+
+    B = pos_clip_b.shape[0]
+    h, w = resolution
+    idbuf, aa = rasterize_pallas_textured_sepaa_stacked(
+        pos_clip_b, pos_idx, uv, uv_idx, tex, face_neighbors, resolution,
+        pair_cap=pair_cap, interpret=interpret, inc=inc)
+    ph = idbuf.shape[0] // B
+    C = aa.shape[0]
+    img = jnp.where(idbuf >= 0, aa, background)       # (C, B*ph, pw)
+    img = img.reshape(C, B, ph, idbuf.shape[1])[:, :, :h, :w]
+    return jnp.moveaxis(img, 0, -1)                   # (B, H, W, C)
+
+
 def _bary_db_to_uv_da(db: Array, uv: Array, uv_idx: Array,
                       rast: Array) -> Array:
     """(du/dx, du/dy, dv/dx, dv/dy) bary derivatives -> uv-space texd.

@@ -569,6 +569,117 @@ rasterize_texture_sepaa.defvjp(_rasterize_texture_sepaa_fwd,
                                _rasterize_texture_sepaa_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def rasterize_texture_sepaa_stacked(data_s, aux_s, tex, bins,
+                                    sample_ph: int, height: int, width: int,
+                                    interpret: bool,
+                                    pair_cap: int | None = None):
+    """Stacked-batch rasterize+texture + separate AA under ONE custom VJP
+    (FPC_BATCH=stack): the B samples render as one (B*sample_ph, pw)
+    vertically stacked image through a single pass of each kernel —
+    no vmap, so no per-sample while loops or dynamic-slice glue
+    (round-4b trace item 3d; see rasterize_tpu.bin_scene_stacked).
+
+    :param data_s / aux_s: (B, T, 16) SHIFTED stacked records from
+        bin_scene_stacked (differentiable; the y-shift's chain rule back
+        to local records is applied by autodiff upstream).
+    :param sample_ph: per-sample padded row pitch (pad_resolution height).
+    :param height / width: per-sample REAL resolution.
+    :return: (idbuf (B*sample_ph, pw) i32, aa (C, B*sample_ph, pw)
+              antialiased planes, pre-background-composite).
+    """
+    out, _res = _rasterize_texture_sepaa_stacked_fwd(
+        data_s, aux_s, tex, bins, sample_ph, height, width, interpret,
+        pair_cap)
+    return out
+
+
+def _rasterize_texture_sepaa_stacked_fwd(data_s, aux_s, tex, bins,
+                                         sample_ph, height, width,
+                                         interpret, pair_cap=None):
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
+        _aa_fwd_from_packed, _pack_planes)
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        fused_rasterize_from_bins)
+
+    B = data_s.shape[0]
+    stacked_h = B * sample_ph
+    idbuf, payload, entry, extra, colour = fused_rasterize_from_bins(
+        bins, stacked_h, width, interpret, padded=True, tex=tex)
+    ph, pw = idbuf.shape
+    packed = _pack_planes(colour, idbuf, payload)
+    aa = _aa_fwd_from_packed(packed, len(colour), height, width,
+                             interpret, sample_ph=sample_ph)[:, :ph, :pw]
+    res = (entry, payload[0], payload[1], extra, bins,
+           data_s.shape[0] * data_s.shape[1],
+           tex, payload[3], payload[4], packed)
+    return (idbuf, aa), res
+
+
+def _rasterize_texture_sepaa_stacked_bwd(sample_ph, height, width,
+                                         interpret, pair_cap, res, cts):
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import aa_planes_bwd_core
+    from fpc_diffrend_tpu.ops.pallas.raster_grad_tpu import pixel_grad_pallas
+    from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
+        texture_planes_bwd_impl)
+
+    entry, u, v, extra, bins, n_tris, tex, tu, tv, packed = res
+    _gid, gaa = cts
+    ph, pw = entry.shape
+    B = ph // sample_ph
+    T = n_tris // B
+    C = packed.shape[0] - 11
+
+    gcolour, gverts = aa_planes_bwd_core(packed, gaa, height, width, C,
+                                         ph, pw, interpret,
+                                         sample_ph=sample_ph)
+    gtex, gtu, gtv = texture_planes_bwd_impl(
+        tex, tu, tv, ph, width, "wrap", interpret, gcolour)
+    gpl = jnp.concatenate([jnp.zeros((3, ph, pw), jnp.float32),
+                           gtu[None], gtv[None], gverts])
+    cap = None if pair_cap is None else B * pair_cap
+    grad_data, grad_aux = pixel_grad_pallas(
+        bins, entry, u, v, extra, gpl, n_tris, ph, width,
+        pair_cap=cap, interpret=interpret, stacked=True)
+    return (grad_data.reshape(B, T, 16), grad_aux.reshape(B, T, 16),
+            gtex, jax.tree.map(_zero_ct, bins))
+
+
+rasterize_texture_sepaa_stacked.defvjp(_rasterize_texture_sepaa_stacked_fwd,
+                                       _rasterize_texture_sepaa_stacked_bwd)
+
+
+def rasterize_pallas_textured_sepaa_stacked(pos_clip_b: Array, faces: Array,
+                                            uv, uv_idx, tex, face_neighbors,
+                                            resolution,
+                                            pair_cap: int | None = None,
+                                            interpret: bool = False,
+                                            inc=(None, None)):
+    """Stacked-batch binning + fused render (the FPC_BATCH=stack entry).
+
+    :param pos_clip_b: (B, V, 4) clip positions per (camera, frame) sample.
+    :return: (idbuf (B*ph, pw) i32, aa (C, B*ph, pw) antialiased planes).
+    """
+    from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
+        aux_records, bin_scene_stacked, pad_resolution)
+
+    height, width = resolution
+    faces = faces.astype(jnp.int32)
+    vtx_inc, uv_inc = inc
+    aux_b = jax.vmap(lambda pc: aux_records(
+        uv, uv_idx.astype(jnp.int32), pc, faces, face_neighbors, height,
+        width, vtx_inc=vtx_inc, uv_inc=uv_inc))(pos_clip_b)
+    data_s, aux_s, bins = bin_scene_stacked(pos_clip_b, faces, height,
+                                            width, aux_b,
+                                            entry_cap=pair_cap,
+                                            vtx_inc=vtx_inc)
+    bins_sg = jax.tree.map(jax.lax.stop_gradient, bins)
+    ph, _pw = pad_resolution(height, width)
+    return rasterize_texture_sepaa_stacked(data_s, aux_s, tex, bins_sg,
+                                           ph, height, width, interpret,
+                                           pair_cap)
+
+
 def _rasterize_pallas_textured_sepaa(pos_clip: Array, faces: Array, uv,
                                      uv_idx, tex, face_neighbors,
                                      resolution,
