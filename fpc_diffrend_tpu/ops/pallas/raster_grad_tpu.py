@@ -71,12 +71,19 @@ _W_EPS = 1e-9
 
 # FPC_GRAD_PREC=fast contracts the gradient-coefficient planes with a
 # SINGLE bf16 plane instead of the exact hi+mid+lo 3-way split (1 MXU
-# pass instead of 3): ~4e-3 relative noise on the per-triangle
-# gradients only — primal rasterization is untouched. Opt-in perf knob
-# (FPC_TEX_PREC=fast is the texture-kernel analogue).
+# pass instead of 3). Per-contraction error is ~4e-3 relative, but
+# cancellation amplifies per-element gradient error (measured ~6%
+# normalized RMS on an adversarial random scene —
+# test_fast_gradient_precision_bounded). Primal rasterization is
+# untouched.
+#
+# DEFAULT = fast since round 5: convergence-validated against the SGD
+# seed-noise baseline (see texture_tpu GRAD_PRECISION note and
+# results/precision*/precision.md). FPC_GRAD_PREC=exact restores the
+# 3-way split.
 import os as _os
 
-_GRAD_FAST = _os.environ.get("FPC_GRAD_PREC", "exact") == "fast"
+_GRAD_FAST = _os.environ.get("FPC_GRAD_PREC", "fast") == "fast"
 
 
 def _split_grad(x):

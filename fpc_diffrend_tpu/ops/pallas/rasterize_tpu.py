@@ -809,9 +809,20 @@ def bin_scene_stacked(pos_clip_b: Array, faces: Array, height: int,
 # The kernels
 # ----------------------------------------------------------------------------
 
+# FPC_GX pads the tile-column count up to the given value. The headline
+# width 1600px pads to gx = 13 — a PRIME, so tiles_per_program silently
+# degrades the grad/texture kernels' intended mt=8 amortization to mt=1
+# (round-4 VERDICT weak #3). FPC_GX=14 buys mt=7 for +7.7% padded width;
+# the pad tiles are empty (no bin entries, zero cotangents), so every
+# kernel's empty-tile fast path skips their real work.
+_GX_MIN = int(os.environ.get("FPC_GX", "0"))
+
+
 def pad_resolution(height: int, width: int):
     ph = (height + TILE_H - 1) // TILE_H * TILE_H
     pw = (width + TILE_W - 1) // TILE_W * TILE_W
+    if _GX_MIN:
+        pw = max(pw, _GX_MIN * TILE_W)
     return ph, pw
 
 

@@ -120,7 +120,8 @@ def _local_loss(config: FitConfig, scene: Scene, params: dict, batch: Batch,
             enable_mip=config.enable_mip, max_mip_level=config.max_mip_level,
             impl=config.raster_impl,
             axis_name="tile" if n_bands > 1 else None,
-            aa_max_pairs=resolve_aa_max_pairs(config))
+            aa_max_pairs=resolve_aa_max_pairs(config),
+            pair_cap=config.pair_cap if config.pair_cap > 0 else None)
         # ref arrives pre-sliced to this device's band rows
         pix_sum = jnp.sum((ref_band - img * 255.0) ** 2)
         mel, lap, mnc = losses_mod.mesh_regularizers(config, scene, verts3)

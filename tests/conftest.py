@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Kernel parity tests verify the EXACT math paths with tight tolerances;
+# the production default is the convergence-validated fast precision
+# (bf16 gradient contractions, ~4e-3 relative — see texture_tpu
+# GRAD_PRECISION). Pin exact here; test_precision_knobs covers fast.
+os.environ.setdefault("FPC_GRAD_PREC", "exact")
+os.environ.setdefault("FPC_TEX_PREC", "exact")
+
 import jax  # noqa: E402
 
 # Some environments register an external TPU platform at interpreter start

@@ -92,6 +92,51 @@ def test_banded_render_matches_full(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-3)
 
 
+@pytest.mark.slow
+def test_banded_render_fused_matches_full(setup, monkeypatch):
+    """The PRODUCTION fused band path (pallas sepaa kernels, interpret)
+    stitches to the full-frame fused render incl. the ppermute AA seam —
+    the sharded step inherits the single-chip kernel pipeline (round-4
+    VERDICT #4)."""
+    from fpc_diffrend_tpu.ops.pallas.antialias_tpu import (
+        antialias_planes_pallas)
+    from fpc_diffrend_tpu.ops.rasterize import _rasterize_pallas_textured
+
+    scene, config, params = setup
+    monkeypatch.setenv("FPC_INTERPRET", "1")
+    n_bands = 2
+    mvp = fit_loop.build_mvp(scene, params, jnp.int32(0), jnp.int32(0))
+    verts3 = scene.v_base.reshape(-1, 3)
+    pos_clip = camera.transform_clip(mvp, verts3)
+    h, w = RES
+
+    # full-frame fused reference (same kernels, interpret mode)
+    idbuf_p, payload_p, colour_planes = _rasterize_pallas_textured(
+        pos_clip, scene.faces, scene.uv, scene.uv_idx, params["tex"],
+        scene.face_neighbors, RES, interpret=True)
+    aa_p = antialias_planes_pallas(colour_planes, idbuf_p, payload_p,
+                                   h, w, interpret=True)
+    full = jnp.where(idbuf_p[:h, :w, None] >= 0,
+                     jnp.moveaxis(aa_p[:, :h, :w], 0, -1), 45.0 / 255.0)
+
+    mesh = mesh_mod.make_mesh(("tile",), (n_bands,),
+                              jax.devices()[:n_bands])
+    hb = h // n_bands
+
+    def band_render(_):
+        band = jax.lax.axis_index("tile")
+        return spatial.render_band(
+            mvp, verts3, scene.faces, scene.uv, scene.uv_idx,
+            params["tex"], (hb, w), scene.face_neighbors, band, n_bands,
+            impl="pallas", axis_name="tile")
+
+    from jax.sharding import PartitionSpec as P
+    out = jax.jit(jax.shard_map(
+        band_render, mesh=mesh, in_specs=(P("tile"),),
+        out_specs=P("tile"), check_vma=False))(jnp.zeros((n_bands, 1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-3)
+
+
 @pytest.mark.parametrize("shape,axes", [
     ((8, 1, 1), ("frame", "view", "tile")),
     ((2, 2, 2), ("frame", "view", "tile")),

@@ -202,6 +202,39 @@ def test_fit_loop_stacked_matches_scan(rng, monkeypatch):
         np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2, err_msg=k)
 
 
+def test_gx_padding_matches_default(rng, monkeypatch):
+    """FPC_GX (tile-column padding for mt amortization at prime gx)
+    changes no rendered value or gradient — pad tiles stay empty."""
+    import fpc_diffrend_tpu.ops.pallas.rasterize_tpu as rt
+
+    verts, faces, uv = _scene(rng, n_quads=4)
+    fn = _neighbors(faces)
+    pos_clip = _clip_batch(verts, rng, 1)[0]
+    tex = _tex(rng)
+    h, w = RES
+    gimg = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+
+    def loss(pos_clip, tex):
+        idbuf, aa = _rasterize_pallas_textured_sepaa(
+            pos_clip, faces, uv, faces, tex, fn, RES, pair_cap=None,
+            interpret=True)
+        return jnp.sum(aa[0, :h, :w] * gimg), (idbuf, aa)
+
+    (l0, (id0, aa0)), g0 = jax.value_and_grad(loss, argnums=(0, 1),
+                                              has_aux=True)(pos_clip, tex)
+    monkeypatch.setattr(rt, "_GX_MIN", 2)        # pw 128 -> 256
+    (l1, (id1, aa1)), g1 = jax.value_and_grad(loss, argnums=(0, 1),
+                                              has_aux=True)(pos_clip, tex)
+    assert id1.shape[1] == 256 and id0.shape[1] == 128
+    np.testing.assert_array_equal(np.asarray(id1[:, :128]),
+                                  np.asarray(id0))
+    np.testing.assert_allclose(np.asarray(aa1[:, :, :128]),
+                               np.asarray(aa0), atol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_stacked_binning_invariants(rng):
     """bin_scene_stacked: one live prefix, per-sample ids, record shift."""
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (

@@ -1,13 +1,17 @@
 #!/bin/bash
 # Round-5 on-chip A/B queue with the TWO-CONTROL BRACKETING policy
-# (VERDICT round-4 #9): every candidate run is preceded and followed by
-# a default-config control so ±2 ms attach drift cannot decide a
-# winner. Candidates run SAFEST FIRST, each in its own subprocess with
-# a timeout; the queue aborts at the first timeout (a stalled remote
-# compile wedges the single-chip attach for hours).
+# (VERDICT round-4 #9): every candidate is bracketed by default-config
+# controls so ±2 ms attach drift cannot decide a winner; adjacent
+# candidates share the control between them (control, cand1, control,
+# cand2, control, ...). Candidates run SAFEST FIRST, each in its own
+# subprocess with a timeout; the queue aborts at the first timeout (a
+# stalled remote compile wedges the single-chip attach for hours).
+#
+# NOTE the round-5 defaults already include FPC_TEX_PREC=fast2 +
+# FPC_GRAD_PREC=fast (convergence-validated), so `prec-exact` is the
+# REVERSE A/B quantifying what the flip bought.
 #
 # Usage: bash tools/ab_round5.sh [candidate ...]
-#   candidates: stack (FPC_BATCH=stack), default list below if none.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p results
@@ -42,22 +46,25 @@ bench_once() {  # name env...
   return 0
 }
 
-bracketed() {  # name env...
+run_cand() {  # name env...
   local name="$1"; shift
-  bench_once "control-pre-$name"
   bench_once "$name" "$@"
-  bench_once "control-post-$name"
+  bench_once "control"
 }
 
 probe
-if [ $# -gt 0 ]; then
-  for cand in "$@"; do
-    case "$cand" in
-      stack) bracketed stack FPC_BATCH=stack ;;
-      *) echo "unknown candidate $cand" | tee -a "$LOG" ;;
-    esac
-  done
-else
-  bracketed stack FPC_BATCH=stack
+bench_once "control"
+if [ $# -gt 0 ]; then CANDS=("$@"); else
+  CANDS=(prec-exact gx14 stack stack-gx14)
 fi
+for cand in "${CANDS[@]}"; do
+  case "$cand" in
+    prec-exact) run_cand prec-exact FPC_TEX_PREC=exact FPC_GRAD_PREC=exact ;;
+    gx14)       run_cand gx14 FPC_GX=14 ;;
+    gx16)       run_cand gx16 FPC_GX=16 ;;
+    stack)      run_cand stack FPC_BATCH=stack ;;
+    stack-gx14) run_cand stack-gx14 FPC_BATCH=stack FPC_GX=14 ;;
+    *) echo "unknown candidate $cand" | tee -a "$LOG" ;;
+  esac
+done
 echo "=== ab_round5 done ===" | tee -a "$LOG"
