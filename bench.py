@@ -111,6 +111,7 @@ def build_workload():
     if jax.default_backend() == "tpu":
         from fpc_diffrend_tpu.fit import api as fit_api
 
+        scene = fit_api.autotune_scene(config, scene, params)
         config = fit_api.autotune_caps(config, scene, params)
     state = state_mod.init_state(config, params)
     frames_u8 = jnp.asarray(

@@ -223,6 +223,47 @@ def autotune_caps(config: FitConfig, scene, params) -> FitConfig:
     return dataclasses.replace(config, pair_cap=cap)
 
 
+def autotune_scene(config: FitConfig, scene, params):
+    """Scene-side autotune: face-order orientation for the banded fold.
+
+    The stacked-batch pipeline (FPC_BATCH=stack) cannot run the
+    banded_REV fold (reversing the stacked bin order would interleave
+    the samples' id bands), so a scene whose triangle ids DESCEND along
+    the tile-sorted order — the GL y-flip makes upright-camera scenes
+    do exactly that — would silently fall back to the ~2x slower
+    segment fold. REVERSING THE FACE ORDER once makes the forward
+    banded fold exact instead: rendering is face-order independent, the
+    topology tables are rebuilt, and result OBJs inherit the order (same
+    geometry; band_reorder already documents this contract).
+
+    Call before :func:`autotune_caps` (which then measures the flipped
+    scene's band excess and enables ``banded``). No-op unless
+    FPC_BATCH=stack, the scene is rev-banded but not fwd-banded, and no
+    explicit FPC_FOLD_IMPL is set.
+    """
+    if (os.environ.get("FPC_BATCH", "stack") != "stack"
+            or "FPC_FOLD_IMPL" in os.environ
+            or config.pair_cap or config.raster_impl == "scan"):
+        return scene
+    health = measure_raster_health(config, scene, params)
+    fwd = health["fold_band_excess"]
+    rev = health["fold_band_excess_rev"]
+    if fwd <= -256 or rev > -256:
+        return scene          # fwd already fine, or rev wouldn't help
+    from fpc_diffrend_tpu.fit.scene import build_scene
+
+    mesh = objlib.MeshData(
+        vertices=np.asarray(scene.v_base),
+        uv=np.asarray(scene.uv),
+        faces=np.asarray(scene.faces)[::-1].copy(),
+        fuv=np.asarray(scene.uv_idx)[::-1].copy())
+    flipped = build_scene(mesh, np.asarray(scene.proj), np.asarray(scene.mv),
+                          scene.deltas, reorder_faces=False)
+    print(f"[autotune] face order reversed for the stacked banded fold "
+          f"(band excess fwd {fwd} / rev {rev})", flush=True)
+    return flipped
+
+
 def fit_take(config: FitConfig, resume: bool = True):
     """Run a full fit from configured paths and save results.
 
@@ -238,6 +279,7 @@ def fit_take(config: FitConfig, resume: bool = True):
     params = state_mod.init_params(config, n_frames, scene.v_base.shape[0],
                                    scene.deltas.shape[1], tex_init,
                                    scene.n_cameras)
+    scene = autotune_scene(config, scene, params)
     config = autotune_caps(config, scene, params)
     state = state_mod.init_state(config, params)
 

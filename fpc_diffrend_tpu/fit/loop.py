@@ -118,7 +118,9 @@ def render_batch(config: FitConfig, scene: Scene, params: dict,
     from fpc_diffrend_tpu.ops.pipeline import (render_batch_stacked,
                                                stacked_batch_eligible)
 
-    if (os.environ.get("FPC_BATCH", "vmap") == "stack"
+    # default "stack" since round 5: bracketed on-chip A/B 120.7 ms vs
+    # 127.2/127.3 ms controls at the headline workload (BENCHMARKS.md)
+    if (os.environ.get("FPC_BATCH", "stack") == "stack"
             and stacked_batch_eligible(config.resolution,
                                        tuple(config.texshape),
                                        config.enable_mip,

@@ -272,6 +272,62 @@ def test_fit_surfaces_cap_overflow_warning(take_dirs, tmp_path, capsys):
     assert "exceed pair_cap" in out
 
 
+def test_autotune_scene_flips_descending_faces(monkeypatch):
+    """A scene whose triangle ids DESCEND along the tile-sorted bin
+    order (the GL y-flip's upright-camera signature) gets its face
+    order reversed under FPC_BATCH=stack so the forward banded fold
+    becomes exact (the stacked pipeline cannot run banded_rev)."""
+    import jax.numpy as jnp
+
+    from fpc_diffrend_tpu.fit import state as state_mod
+    from fpc_diffrend_tpu.fit.scene import build_scene
+
+    # a tall strip of quads; faces ordered TOP-to-bottom (descending y)
+    n_rows = 3000
+    ys = np.linspace(0.95, -0.95, n_rows + 1).astype(np.float32)
+    verts, faces, uv = [], [], []
+    for i in range(n_rows):
+        b = len(verts)
+        verts += [[-0.5, ys[i], 0], [0.5, ys[i], 0],
+                  [-0.5, ys[i + 1], 0], [0.5, ys[i + 1], 0]]
+        uv += [[0.2, 0.2]] * 4
+        faces += [[b, b + 1, b + 2], [b + 1, b + 3, b + 2]]
+    mesh = objlib.MeshData(
+        vertices=np.asarray(verts, np.float32).reshape(-1),
+        uv=np.asarray(uv, np.float32),
+        faces=np.asarray(faces, np.int32),
+        fuv=np.asarray(faces, np.int32))
+    proj = np.eye(4, dtype=np.float32)[None]
+    mv = np.eye(4, dtype=np.float32)[None]
+    # keep the authored (descending-in-bin-order) face order
+    scene = build_scene(mesh, proj, mv, reorder_faces=False)
+    config = FitConfig(max_iter=2, resolution=(256, 128),
+                       texshape=(8, 8, 1), mode="free", cam_idxs=(0,),
+                       batch_size=1, raster_impl="pallas")
+    tex = np.full((8, 8, 1), 0.5, np.float32)
+    params = state_mod.init_params(config, 2, scene.v_base.shape[0],
+                                   scene.deltas.shape[1], tex, 1)
+
+    health = fit_api.measure_raster_health(config, scene, params)
+    assert health["fold_band_excess"] > 0          # fwd unbandable
+    assert health["fold_band_excess_rev"] <= -256  # rev would band
+
+    monkeypatch.delenv("FPC_FOLD_IMPL", raising=False)
+    monkeypatch.setenv("FPC_BATCH", "vmap")
+    assert fit_api.autotune_scene(config, scene, params) is scene
+
+    monkeypatch.setenv("FPC_BATCH", "stack")
+    flipped = fit_api.autotune_scene(config, scene, params)
+    assert flipped is not scene
+    np.testing.assert_array_equal(np.asarray(flipped.faces),
+                                  np.asarray(scene.faces)[::-1])
+    h2 = fit_api.measure_raster_health(config, flipped, params)
+    assert h2["fold_band_excess"] <= -256          # fwd now bands
+    # geometry unchanged: same vertices, same uv
+    np.testing.assert_array_equal(np.asarray(flipped.v_base),
+                                  np.asarray(scene.v_base))
+
+
 def test_checkpoint_restore_is_bit_exact(take_dirs, tmp_path):
     """save/restore roundtrip of the full TrainState (params, optimizer
     moments, step) is bit-exact — a resumed fit continues from EXACTLY
