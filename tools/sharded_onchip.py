@@ -25,7 +25,34 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--inner", action="store_true",
+                    help="internal: run the measurement in-process")
+    ap.add_argument("--timeout", type=int, default=2100)
     args = ap.parse_args()
+
+    if not args.inner:
+        # a stalled remote compile can only be abandoned by killing the
+        # process — and killing an in-flight compile wedges the shared
+        # attach less badly than killing the whole supervisor chain.
+        # Mirror bench.py: child process with a deadline, one retry.
+        import subprocess
+        import time as _time
+
+        cmd = [sys.executable, os.path.abspath(__file__), "--inner",
+               "--iters", str(args.iters)]
+        for attempt in range(2):
+            try:
+                r = subprocess.run(cmd, timeout=args.timeout)
+                if r.returncode == 0:
+                    return
+                print(f"# child failed rc={r.returncode}", file=sys.stderr)
+            except subprocess.TimeoutExpired:
+                print(f"# child timed out after {args.timeout}s "
+                      f"(attempt {attempt + 1}) — compile stall",
+                      file=sys.stderr, flush=True)
+            if attempt == 0:
+                _time.sleep(300)
+        sys.exit(1)
 
     import jax
     import jax.numpy as jnp
