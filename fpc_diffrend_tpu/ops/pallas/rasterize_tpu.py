@@ -1008,6 +1008,27 @@ def _split3_bf16(x):
     return hi, mid, lo
 
 
+# FPC_FWD_SPLITS=2 reconstructs phase-B record gathers from only the
+# hi+mid bf16 planes (2 MXU passes per gather instead of 3): ~2^-17
+# relative error on the gathered record fields — ~0.01 px on screen
+# coordinates, ~0.008 texel on 1024^2 uv — instead of exact f32.
+# OPT-IN: phase B is the fused forward kernel's dominant MXU cost, but
+# the primal render is no longer bit-exact under this knob (parity test
+# bounds the error; keep 3 for exactness).
+_FWD_SPLITS = int(os.environ.get("FPC_FWD_SPLITS", "3"))
+
+# FPC_PHASEB_SKIP=1 gates each phase-B chunk (and global block) on the
+# tile's winner-entry range [min, max] resolved in phase A — chunks no
+# pixel's winner falls into contribute an all-zero one-hot, so their
+# gather matmuls are pure waste. Bit-identical output; opt-in until
+# chip-validated (round-4 protocol).
+_PHASEB_SKIP = os.environ.get("FPC_PHASEB_SKIP", "0") == "1"
+
+
+def _split_fwd(x):
+    return _split3_bf16(x)[:_FWD_SPLITS]
+
+
 def _onehot_gather(parts, oh):
     """sum_i parts[i] @ oh with bf16 single-pass matmuls, f32 accumulate.
 
@@ -1238,6 +1259,12 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
     if _PHASEA == "slots":
         _phasea_finish(slots, acc)
     acci = acc[1]                                          # (8, 128)
+    if _PHASEB_SKIP:
+        # winner-entry range: phase-B chunks outside it gather all-zero
+        # one-hots — skip their matmuls entirely (bit-identical)
+        hit_a = acc[0] < _BIG
+        win_lo = jnp.min(jnp.where(hit_a, acci, _BIG))
+        win_hi = jnp.max(jnp.where(hit_a, acci, -1.0))
 
     # ---- phase B: gather the winner's record per pixel (MXU one-hot) ----
     fvm[:] = jnp.zeros((TILE_H, REC, TILE_W), jnp.float32)
@@ -1271,15 +1298,27 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
             bdma(bslot, ci).wait()
 
         col0 = (first_chunk + ci) * CHUNK
-        kslot = jax.lax.rem(s0 + ci, 4)
-        chunk = jnp.where(cached, chunk_vmem[kslot],
-                          bbuf_vmem[bslot])               # (REC, CHUNK)
-        parts = _split3_bf16(chunk)
-        col_f = (col0 + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-                 ).astype(jnp.float32)
-        for g in range(TILE_H):
-            oh = (col_f == acci[g:g + 1, :]).astype(jnp.bfloat16)
-            fvm[g] = fvm[g] + _onehot_gather(parts, oh)   # (REC, TILE_W)
+
+        def gather_chunk(col0=col0, bslot=bslot, ci=ci):
+            kslot = jax.lax.rem(s0 + ci, 4)
+            chunk = jnp.where(cached, chunk_vmem[kslot],
+                              bbuf_vmem[bslot])           # (REC, CHUNK)
+            parts = _split_fwd(chunk)
+            col_f = (col0
+                     + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+                     ).astype(jnp.float32)
+            for g in range(TILE_H):
+                oh = (col_f == acci[g:g + 1, :]).astype(jnp.bfloat16)
+                fvm[g] = fvm[g] + _onehot_gather(parts, oh)  # (REC, 128)
+
+        if _PHASEB_SKIP:
+            c0f = col0.astype(jnp.float32)
+
+            @pl.when((c0f <= win_hi) & (c0f + CHUNK > win_lo))
+            def _():
+                gather_chunk()
+        else:
+            gather_chunk()
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_b, 0)
@@ -1288,12 +1327,16 @@ def _fused_tile_body(gx, gbase, ti, tj, cols, start, end, count, n_global,
     for gb in range(MAX_GLOBAL // CHUNK):
         blk_min = gblk_ty_ref[0, gb]
         blk_max = gblk_ty_ref[1, gb]
-
-        @pl.when((gb * CHUNK < n_global) & (blk_min <= ti)
+        gcond = ((gb * CHUNK < n_global) & (blk_min <= ti)
                  & (ti <= blk_max))
+        if _PHASEB_SKIP:
+            g0 = float(gbase + gb * CHUNK)
+            gcond = gcond & (g0 <= win_hi) & (g0 + CHUNK > win_lo)
+
+        @pl.when(gcond)
         def _():
             gchunk = global_vmem[:, pl.ds(gb * CHUNK, CHUNK)]
-            parts = _split3_bf16(gchunk)
+            parts = _split_fwd(gchunk)
             col_f = (gbase + gb * CHUNK
                      + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                      ).astype(jnp.float32)

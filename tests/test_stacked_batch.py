@@ -235,6 +235,59 @@ def test_gx_padding_matches_default(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_phaseb_skip_bit_identical(rng, monkeypatch):
+    """FPC_PHASEB_SKIP gates phase-B chunks on the winner-entry range —
+    output must be BIT-identical (forward and gradients)."""
+    import fpc_diffrend_tpu.ops.pallas.rasterize_tpu as rt
+
+    verts, faces, uv = _scene(rng)
+    fn = _neighbors(faces)
+    pos_clip = _clip_batch(verts, rng, 1)[0]
+    tex = _tex(rng)
+    h, w = RES
+    gimg = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+
+    def loss(pos_clip, tex):
+        idbuf, aa = _rasterize_pallas_textured_sepaa(
+            pos_clip, faces, uv, faces, tex, fn, RES, pair_cap=None,
+            interpret=True)
+        return jnp.sum(aa[0, :h, :w] * gimg), (idbuf, aa)
+
+    (l0, (id0, aa0)), g0 = jax.value_and_grad(loss, argnums=(0, 1),
+                                              has_aux=True)(pos_clip, tex)
+    monkeypatch.setattr(rt, "_PHASEB_SKIP", True)
+    (l1, (id1, aa1)), g1 = jax.value_and_grad(loss, argnums=(0, 1),
+                                              has_aux=True)(pos_clip, tex)
+    np.testing.assert_array_equal(np.asarray(id1), np.asarray(id0))
+    np.testing.assert_array_equal(np.asarray(aa1), np.asarray(aa0))
+    for a, b in zip(g1, g0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fwd_splits2_error_bounded(rng, monkeypatch):
+    """FPC_FWD_SPLITS=2 (hi+mid bf16 record gather) keeps the rendered
+    values within the documented ~2^-17 relative bound; winner ids stay
+    bit-identical (selection happens in phase A)."""
+    import fpc_diffrend_tpu.ops.pallas.rasterize_tpu as rt
+
+    verts, faces, uv = _scene(rng)
+    fn = _neighbors(faces)
+    pos_clip = _clip_batch(verts, rng, 1)[0]
+    tex = _tex(rng)
+
+    id0, aa0 = _rasterize_pallas_textured_sepaa(
+        pos_clip, faces, uv, faces, tex, fn, RES, pair_cap=None,
+        interpret=True)
+    monkeypatch.setattr(rt, "_FWD_SPLITS", 2)
+    id1, aa1 = _rasterize_pallas_textured_sepaa(
+        pos_clip, faces, uv, faces, tex, fn, RES, pair_cap=None,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(id1), np.asarray(id0))
+    d = np.abs(np.asarray(aa1) - np.asarray(aa0))
+    assert d.max() > 0.0                 # the knob engaged
+    assert d.max() < 5e-3                # colour error bound ([0,1] scale)
+
+
 def test_stacked_binning_invariants(rng):
     """bin_scene_stacked: one live prefix, per-sample ids, record shift."""
     from fpc_diffrend_tpu.ops.pallas.rasterize_tpu import (
