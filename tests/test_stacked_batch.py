@@ -79,6 +79,22 @@ def _per_sample(pos_clip_b, faces, uv, uv_idx, tex, fn):
     return outs
 
 
+def test_stacked_single_sample(rng):
+    """B=1 degenerate case (the reference-style batch-1 fits run through
+    the same stacked path on TPU)."""
+    verts, faces, uv = _scene(rng, n_quads=4)
+    fn = _neighbors(faces)
+    pos_clip_b = _clip_batch(verts, rng, 1)
+    tex = _tex(rng)
+    idbuf_s, aa_s = rasterize_pallas_textured_sepaa_stacked(
+        pos_clip_b, faces, uv, faces, tex, fn, RES, pair_cap=None,
+        interpret=True)
+    idbuf_r, aa_r = _per_sample(pos_clip_b, faces, uv, faces, tex, fn)[0]
+    np.testing.assert_array_equal(np.asarray(idbuf_s), np.asarray(idbuf_r))
+    np.testing.assert_allclose(np.asarray(aa_s), np.asarray(aa_r),
+                               atol=1e-5)
+
+
 def test_stacked_forward_matches_per_sample(rng):
     B = 3
     verts, faces, uv = _scene(rng)
