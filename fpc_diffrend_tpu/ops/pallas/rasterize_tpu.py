@@ -1428,7 +1428,7 @@ def _sample_tile(n_chan, tex_geom, tex_vmem, cols, tu_rows, tv_rows):
     pixels carry uv (0, 0) and sample the same value the separate path's
     background write produces (wrap sample at texel -0.5)."""
     from fpc_diffrend_tpu.ops.pallas.texture_tpu import (
-        PATCH_W, PRECISION, SUB_H, _TEX_IMPL, _bilin_x, _wrow, _xsel)
+        FWD_PRECISION, PATCH_W, SUB_H, _TEX_IMPL, _bilin_x, _wrow, _xsel)
 
     th, tw, he, we = tex_geom
     tu_t = jnp.concatenate(tu_rows, axis=0)               # (8, 128)
@@ -1474,7 +1474,7 @@ def _sample_tile(n_chan, tex_geom, tex_vmem, cols, tu_rows, tv_rows):
                 b = _bilin_x(subp, oh0, fs)
             else:
                 b = jnp.dot(subp, wx, preferred_element_type=jnp.float32,
-                            precision=PRECISION)          # (SUB_H, 128)
+                            precision=FWD_PRECISION)      # (SUB_H, 128)
             col_rows[c].append(jnp.sum(wy * b, axis=0, keepdims=True))
     return [jnp.concatenate(col_rows[c], axis=0) for c in range(n_chan)]
 

@@ -71,6 +71,16 @@ VMEM_LIMIT = 96 * 2 ** 20
 # Mosaic supports only DEFAULT (bf16, ~4e-3 relative — too lossy for
 # texel-exact parity) and HIGHEST (fp32 contract) dot precision.
 PRECISION = jax.lax.Precision.HIGHEST
+# FPC_TEX_FWD_PREC=fast drops the FORWARD bilinear sampling matmuls to
+# DEFAULT (single-pass bf16): ~4e-3 error on sampled texel values —
+# below one 8-bit grey level, i.e. under the reference imagery's own
+# quantization — for ~6x fewer MXU passes in the fused forward kernel's
+# texture tail (HIGHEST f32 emulation is the multi-pass split). OPT-IN:
+# the primal render is no longer texel-exact under this knob.
+FWD_PRECISION = (jax.lax.Precision.DEFAULT
+                 if __import__("os").environ.get(
+                     "FPC_TEX_FWD_PREC", "exact") == "fast"
+                 else jax.lax.Precision.HIGHEST)
 # FPC_TEX_PREC=fast drops the BACKWARD's coordinate-gradient contractions
 # (b = sub @ wx, b2 = sub @ dwx — 2 of the 3 matmuls per row) to DEFAULT
 # (bf16) precision: ~4e-3 relative noise on gtu/gtv only; the texel
@@ -439,7 +449,7 @@ def _fwd_kernel(C: int, gx: int, mt: int,
                     else:
                         b = jnp.dot(sub, wx,
                                     preferred_element_type=jnp.float32,
-                                    precision=PRECISION)    # (SUB_H, 128)
+                                    precision=FWD_PRECISION)  # (SUB_H, 128)
                     rows[c].append(jnp.sum(wy * b, axis=0, keepdims=True))
             for c in range(C):
                 out_refs[c][:, cols] = jnp.concatenate(rows[c], axis=0)
